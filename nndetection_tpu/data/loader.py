@@ -1,0 +1,195 @@
+"""Host-side patch sampling from preprocessed memmaps.
+
+Reference semantics (``/root/reference/nndet/io/datamodule/bg_loader.py:47-440``):
+fixed-length epochs of random patches with foreground oversampling — the last
+``oversample_foreground_percent`` of every batch is forced to contain an
+instance; the fg crop center is drawn inside a precomputed instance box,
+offset so the whole instance fits in the patch (``DataLoader3DOffset``).
+
+The host does *only* memmap reads + crop arithmetic; normalization already
+happened in preprocessing and augmentation runs on device
+(:mod:`nndetection_tpu.data.augment`). Batches carry raw instance ids plus the
+per-case instance->class table; boxes/semantic masks are derived on device
+after augmentation (:func:`nndetection_tpu.data.gt_prep.prepare_targets`).
+"""
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from nndetection_tpu.utils.io import load_pickle
+
+
+@dataclass
+class CaseRecord:
+    case_id: str
+    npy_path: Path  # [C+1, *spatial] float32 (last channel = instance seg)
+    shape: tuple  # spatial shape
+    boxes: np.ndarray  # [I, 2*dim] instance boxes (preprocessed space)
+    classes: np.ndarray  # [I]
+    instance_ids: np.ndarray  # [I]
+
+
+def build_case_records(image_dir) -> List[CaseRecord]:
+    image_dir = Path(image_dir)
+    records = []
+    for npy in sorted(image_dir.glob("*.npy")):
+        if npy.stem.endswith("_boxes"):
+            continue
+        cand = load_pickle(image_dir / f"{npy.stem}_boxes.pkl")
+        arr = np.load(npy, mmap_mode="r")
+        records.append(
+            CaseRecord(
+                case_id=npy.stem,
+                npy_path=npy,
+                shape=tuple(arr.shape[1:]),
+                boxes=np.asarray(cand["boxes"], np.float32),
+                classes=np.asarray(cand["classes"], np.int64),
+                instance_ids=np.asarray(cand["instance_ids"], np.int64),
+            )
+        )
+    return records
+
+
+class PatchLoader:
+    """Fixed-length random patch sampler over a set of cases."""
+
+    def __init__(
+        self,
+        records: Sequence[CaseRecord],
+        patch_size: Sequence[int],
+        batch_size: int,
+        oversample_foreground_percent: float = 0.5,
+        max_instances: int = 32,
+        seed: int = 0,
+        balanced_classes: bool = False,
+        num_classes: int = 1,
+    ):
+        assert len(records) > 0, "no cases to sample from"
+        self.records = list(records)
+        self.patch_size = tuple(int(p) for p in patch_size)
+        self.batch_size = batch_size
+        self.oversample = oversample_foreground_percent
+        self.max_instances = max_instances
+        self.rng = np.random.RandomState(seed)
+        self.balanced_classes = balanced_classes
+        self.num_classes = num_classes
+        self.dim = len(self.patch_size)
+
+    def _needs_fg(self, idx_in_batch: int) -> bool:
+        # last `oversample` fraction of the batch is forced-foreground
+        return idx_in_batch >= round(self.batch_size * (1.0 - self.oversample))
+
+    def _fg_origin(self, rec: CaseRecord) -> np.ndarray:
+        """Crop origin such that a randomly chosen instance fully fits
+        (Offset variant, ``bg_loader.py:337-393``)."""
+        if self.balanced_classes and len(rec.classes):
+            cls = self.rng.choice(np.unique(rec.classes))
+            pool = np.where(rec.classes == cls)[0]
+            i = self.rng.choice(pool)
+        else:
+            i = self.rng.randint(len(rec.boxes))
+        box = rec.boxes[i]
+        lo = np.array([box[0], box[1], box[4]][: self.dim])
+        hi = np.array([box[2], box[3], box[5]][: self.dim])
+        patch = np.asarray(self.patch_size)
+        shape = np.asarray(rec.shape)
+        # valid origin range so that [lo, hi) subset of [o, o+patch)
+        o_min = np.maximum(0, hi - patch).astype(np.int64)
+        o_max = np.minimum(lo, shape - patch).astype(np.int64)
+        o_max = np.maximum(o_max, o_min)
+        return np.array(
+            [self.rng.randint(a, b + 1) for a, b in zip(o_min, o_max)], np.int64
+        )
+
+    def _bg_origin(self, rec: CaseRecord) -> np.ndarray:
+        shape = np.asarray(rec.shape)
+        patch = np.asarray(self.patch_size)
+        hi = np.maximum(shape - patch, 0)
+        return np.array([self.rng.randint(0, h + 1) for h in hi], np.int64)
+
+    def sample_patch(self, rec: CaseRecord, force_fg: bool):
+        arr = np.load(rec.npy_path, mmap_mode="r")
+        shape = np.asarray(rec.shape)
+        patch = np.asarray(self.patch_size)
+
+        pad_needed = np.maximum(patch - shape, 0)
+        use_fg = force_fg and len(rec.boxes) > 0
+        origin = self._fg_origin(rec) if use_fg else self._bg_origin(rec)
+
+        sl = tuple(
+            slice(int(o), int(min(o + p, s)))
+            for o, p, s in zip(origin, patch, shape)
+        )
+        crop = np.asarray(arr[(slice(None),) + sl])
+        if pad_needed.any() or any(
+            crop.shape[1 + i] != patch[i] for i in range(self.dim)
+        ):
+            pads = [(0, 0)] + [
+                (0, int(patch[i] - crop.shape[1 + i])) for i in range(self.dim)
+            ]
+            crop = np.pad(crop, pads, mode="constant")
+        data = crop[:-1]
+        seg = crop[-1].astype(np.int32)
+        return data, seg
+
+    def generate_batch(self) -> Dict[str, np.ndarray]:
+        images, segs, tables = [], [], []
+        for i in range(self.batch_size):
+            rec = self.records[self.rng.randint(len(self.records))]
+            data, seg = self.sample_patch(rec, self._needs_fg(i))
+            # channel-last for TPU
+            images.append(np.moveaxis(data, 0, -1))
+            segs.append(seg)
+            table = np.full((self.max_instances,), -1, np.int32)
+            for iid, cls in zip(rec.instance_ids, rec.classes):
+                if 1 <= iid <= self.max_instances:
+                    table[iid - 1] = cls
+            tables.append(table)
+        return {
+            "images": np.stack(images).astype(np.float32),
+            "seg_instances": np.stack(segs),
+            "instance_classes": np.stack(tables),
+        }
+
+    def epoch(self, num_batches: int) -> Iterator[Dict[str, np.ndarray]]:
+        for _ in range(num_batches):
+            yield self.generate_batch()
+
+
+class PrefetchIterator:
+    """Background-thread prefetch of host batches (double buffering the
+    memmap reads against device compute)."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in it:
+                    self.q.put(item)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+            finally:
+                self.q.put(self._sentinel)
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,315 @@
+"""Training runtime: SPMD train loop, SGD+Nesterov with no-WD-on-norm groups,
+warmup-poly LR, SWA weight averaging, checkpointing.
+
+Replaces the reference's Lightning module/trainer stack
+(``/root/reference/nndet/ptmodule/base_module.py``,
+``retinaunet/base.py:135-336``, ``scripts/train.py:166-327``) with a pure-JAX
+loop: one jitted, sharding-annotated train step (batch over the ``data`` mesh
+axis, params replicated, gradient psum inserted by XLA), explicit PRNG
+threading, and host-side epoch orchestration.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from nndetection_tpu.models.retina_unet import (
+    RetinaUNet,
+    RetinaUNetConfig,
+    batched_postprocess,
+    train_step_loss,
+)
+from nndetection_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)
+from nndetection_tpu.train.lr import swa_schedule
+from nndetection_tpu.utils.io import save_pickle, load_pickle
+
+
+@dataclass
+class TrainerConfig:
+    """Defaults follow ``/root/reference/nndet/conf/train/v001.yaml:29-60``."""
+
+    max_epochs: int = 50
+    num_train_batches_per_epoch: int = 2500
+    num_val_batches_per_epoch: int = 100
+    batch_size: int = 4  # global batch size
+    initial_lr: float = 0.01
+    sgd_momentum: float = 0.9
+    sgd_nesterov: bool = True
+    weight_decay: float = 3e-5
+    warm_iterations: int = 4000
+    warm_lr: float = 1e-6
+    poly_gamma: float = 0.9
+    swa_epochs: int = 10
+    monitor_key: str = "mAP_IoU_0.10_0.50_0.05_MaxDet_100"
+    seed: int = 42
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    swa_params: Any
+    swa_count: jnp.ndarray
+
+
+def _decay_mask(params) -> Any:
+    """Weight decay only on conv/dense kernels — norm scales and biases are
+    excluded (reference ``get_params_no_wd_on_norm``,
+    ``/root/reference/nndet/training/optimizer/utils.py:31``)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: k[-1] == "kernel" for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(tcfg: TrainerConfig) -> Tuple[optax.GradientTransformation, Callable]:
+    total_steps = tcfg.max_epochs * tcfg.num_train_batches_per_epoch
+    schedule = swa_schedule(
+        initial_lr=tcfg.initial_lr,
+        warm_iterations=tcfg.warm_iterations,
+        warm_lr=tcfg.warm_lr,
+        poly_gamma=tcfg.poly_gamma,
+        train_iterations=total_steps,
+        swa_cycle_iterations=max(1, tcfg.num_train_batches_per_epoch),
+    )
+    tx = optax.chain(
+        optax.masked(
+            optax.add_decayed_weights(tcfg.weight_decay), _decay_mask
+        ),
+        optax.sgd(
+            learning_rate=schedule,
+            momentum=tcfg.sgd_momentum,
+            nesterov=tcfg.sgd_nesterov,
+        ),
+    )
+    return tx, schedule
+
+
+class Trainer:
+    """Owns the jitted SPMD train/val steps and the epoch loop."""
+
+    def __init__(
+        self,
+        model_cfg: RetinaUNetConfig,
+        trainer_cfg: TrainerConfig,
+        mesh=None,
+        output_dir: Optional[Path] = None,
+    ):
+        self.cfg = model_cfg
+        self.tcfg = trainer_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = RetinaUNet(model_cfg)
+        self.tx, self.schedule = make_optimizer(trainer_cfg)
+        self.output_dir = Path(output_dir) if output_dir else None
+
+        anchors_np, per_level = model_cfg.anchors()
+        self.anchors = jnp.asarray(anchors_np)
+        self.anchors_per_level = per_level
+
+        self._train_step = self._build_train_step()
+        self._val_step = self._build_val_step()
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng_seed: Optional[int] = None) -> TrainState:
+        key = jax.random.PRNGKey(
+            self.tcfg.seed if rng_seed is None else rng_seed
+        )
+        sample = jnp.zeros(
+            (1, *self.cfg.patch_size, self.cfg.in_channels), jnp.float32
+        )
+        params = jax.jit(self.model.init)(key, sample)
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            swa_params=params,
+            swa_count=jnp.zeros((), jnp.int32),
+        )
+        rep = replicate_sharding(self.mesh)
+        return jax.device_put(state, rep)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        cfg, model, tx = self.cfg, self.model, self.tx
+        anchors, per_level = self.anchors, self.anchors_per_level
+        rep = replicate_sharding(self.mesh)
+        dsh = batch_sharding(self.mesh)
+
+        def step_fn(state: TrainState, batch, key):
+            def loss_fn(params):
+                preds = model.apply(params, batch["images"])
+                losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
+                total = (
+                    losses["cls"] + losses["reg"] + losses["seg_ce"] + losses["seg_dice"]
+                )
+                return total, losses
+
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state._replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            losses = dict(losses, total=total)
+            return new_state, losses
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, dsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_val_step(self):
+        cfg, model = self.cfg, self.model
+        anchors, per_level = self.anchors, self.anchors_per_level
+        rep = replicate_sharding(self.mesh)
+        dsh = batch_sharding(self.mesh)
+
+        def step_fn(params, batch, key):
+            preds = model.apply(params, batch["images"])
+            losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
+            dets = batched_postprocess(cfg, preds, anchors, cfg.patch_size)
+            return losses, dets
+
+        return jax.jit(step_fn, in_shardings=(rep, dsh, rep))
+
+    # ------------------------------------------------------------------
+    def train_epoch(
+        self, state: TrainState, batches: Iterator[Dict[str, np.ndarray]], epoch: int
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        metrics: Dict[str, list] = {}
+        key = jax.random.PRNGKey(self.tcfg.seed * 1000 + epoch)
+        t0 = time.time()
+        n = 0
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            db = shard_batch(self.mesh, batch)
+            state, losses = self._train_step(state, db, sub)
+            n += 1
+            if n % 50 == 0 or n == 1:
+                for k, v in losses.items():
+                    metrics.setdefault(k, []).append(float(v))
+        out = {f"train_{k}": float(np.mean(v)) for k, v in metrics.items()}
+        out["epoch_time_s"] = time.time() - t0
+        out["steps"] = n
+        return state, out
+
+    def val_epoch(
+        self,
+        state: TrainState,
+        batches: Iterator[Dict[str, np.ndarray]],
+        epoch: int,
+        evaluator=None,
+    ) -> Dict[str, float]:
+        metrics: Dict[str, list] = {}
+        key = jax.random.PRNGKey(999 * (epoch + 1))
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            db = shard_batch(self.mesh, batch)
+            losses, dets = self._val_step(state.params, db, sub)
+            for k, v in losses.items():
+                metrics.setdefault(k, []).append(float(v))
+            if evaluator is not None:
+                evaluator.add_batch(
+                    pred_boxes=np.asarray(dets["boxes"]),
+                    pred_scores=np.asarray(dets["scores"]),
+                    pred_labels=np.asarray(dets["labels"]),
+                    pred_valid=np.asarray(dets["valid"]),
+                    gt_boxes=np.asarray(batch["gt_boxes"]),
+                    gt_classes=np.asarray(batch["gt_classes"]),
+                    gt_mask=np.asarray(batch["gt_mask"]),
+                )
+        out = {f"val_{k}": float(np.mean(v)) for k, v in metrics.items()}
+        if evaluator is not None:
+            scores, _ = evaluator.finish_online_evaluation()
+            out.update(scores)
+        return out
+
+    # ------------------------------------------------------------------
+    def update_swa(self, state: TrainState) -> TrainState:
+        """Average weights into the SWA model (once per SWA epoch,
+        reference ``/root/reference/nndet/training/swa.py:34-105``)."""
+        n = state.swa_count.astype(jnp.float32)
+        swa = jax.tree_util.tree_map(
+            lambda avg, p: (avg * n + p) / (n + 1.0), state.swa_params, state.params
+        )
+        return state._replace(swa_params=swa, swa_count=state.swa_count + 1)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, path, extra: Optional[dict] = None):
+        """Host-side pickle checkpoint of the full state (params, optimizer,
+        SWA average, step) + metadata — the (params-scale-appropriate)
+        equivalent of the reference's ckpt artifacts (SURVEY.md §5.4)."""
+        host_state = jax.device_get(state)
+        payload = {
+            "params": host_state.params,
+            "opt_state": host_state.opt_state,
+            "step": int(host_state.step),
+            "swa_params": host_state.swa_params,
+            "swa_count": int(host_state.swa_count),
+            "model_cfg": self.cfg,
+            "extra": extra or {},
+        }
+        save_pickle(payload, path)
+
+    def load_checkpoint(self, path) -> TrainState:
+        payload = load_pickle(path)
+        state = TrainState(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32),
+            swa_params=payload["swa_params"],
+            swa_count=jnp.asarray(payload["swa_count"], jnp.int32),
+        )
+        return jax.device_put(state, replicate_sharding(self.mesh))
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_iter_fn: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+        val_iter_fn: Optional[Callable[[int], Iterator[Dict[str, np.ndarray]]]] = None,
+        evaluator_fn: Optional[Callable[[], Any]] = None,
+        log_fn: Callable[[int, Dict[str, float]], None] = None,
+        start_epoch: int = 0,
+        state: Optional[TrainState] = None,
+    ) -> TrainState:
+        """Full training run: ``max_epochs`` regular + ``swa_epochs`` SWA."""
+        if state is None:
+            state = self.init_state()
+        total_epochs = self.tcfg.max_epochs + self.tcfg.swa_epochs
+        best = -np.inf
+        for epoch in range(start_epoch, total_epochs):
+            state, train_metrics = self.train_epoch(state, train_iter_fn(epoch), epoch)
+            metrics = dict(train_metrics)
+            if val_iter_fn is not None:
+                evaluator = evaluator_fn() if evaluator_fn else None
+                metrics.update(self.val_epoch(state, val_iter_fn(epoch), epoch, evaluator))
+            if epoch >= self.tcfg.max_epochs:
+                state = self.update_swa(state)
+            if log_fn:
+                log_fn(epoch, metrics)
+            if self.output_dir is not None:
+                self.save_checkpoint(state, self.output_dir / "model_last.ckpt", {"epoch": epoch})
+                score = metrics.get(self.tcfg.monitor_key, None)
+                if score is not None and score > best:
+                    best = score
+                    self.save_checkpoint(
+                        state, self.output_dir / "model_best.ckpt", {"epoch": epoch, "score": score}
+                    )
+        return state

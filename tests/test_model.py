@@ -1,0 +1,170 @@
+import jax
+import jax.flatten_util
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nndetection_tpu.models import (
+    RetinaUNet,
+    RetinaUNetConfig,
+    batched_postprocess,
+    encoder_channels,
+    train_step_loss,
+    ufpn_out_channels,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        conv_kernels=((3, 3, 3),) * 3,
+        strides=((2, 2, 2),) * 2,
+        decoder_levels=(1, 2),
+        patch_size=(16, 16, 16),
+        anchor_width=((4, 8), (8, 16)),
+        anchor_height=((4, 8), (8, 16)),
+        anchor_depth=((4, 8), (8, 16)),
+        start_channels=8,
+        fpn_channels=16,
+        head_channels=16,
+        topk_candidates=200,
+        detections_per_img=20,
+        dtype="float32",
+    )
+    defaults.update(kw)
+    return RetinaUNetConfig(**defaults)
+
+
+def make_batch(cfg, rng, b=2, g=3):
+    d, h, w = cfg.patch_size
+    images = rng.standard_normal((b, d, h, w, cfg.in_channels)).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 6), np.float32)
+    gt_mask = np.zeros((b, g), bool)
+    for i in range(b):
+        for j in range(g - 1):
+            lo = rng.uniform(0, 8, 3)
+            hi = lo + rng.uniform(3, 6, 3)
+            gt_boxes[i, j] = [lo[0], lo[1], hi[0], hi[1], lo[2], hi[2]]
+            gt_mask[i, j] = True
+    gt_classes = np.zeros((b, g), np.int32)
+    seg = (rng.uniform(size=(b, d, h, w)) > 0.9).astype(np.int32)
+    return {
+        "images": jnp.asarray(images),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_mask": jnp.asarray(gt_mask),
+        "seg": jnp.asarray(seg),
+    }
+
+
+@pytest.fixture(scope="module")
+def np_rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def model_and_params(np_rng):
+    cfg = tiny_cfg()
+    model = RetinaUNet(cfg)
+    images = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)
+    return cfg, model, params
+
+
+class TestForward:
+    def test_output_shapes(self, model_and_params):
+        cfg, model, params = model_and_params
+        images = jnp.zeros((2, *cfg.patch_size, cfg.in_channels), jnp.float32)
+        out = model.apply(params, images)
+        anchors, per_level = cfg.anchors()
+        a_total = anchors.shape[0]
+        assert out["box_logits"].shape == (2, a_total, cfg.classifier_classes)
+        assert out["box_deltas"].shape == (2, a_total, 6)
+        assert out["seg_logits"].shape == (2, *cfg.patch_size, 2)
+
+    def test_anchor_count_matches_heads(self, model_and_params):
+        cfg, _, _ = model_and_params
+        anchors, per_level = cfg.anchors()
+        shapes = cfg.feature_shapes()
+        want = sum(
+            int(np.prod(s)) * cfg.anchors_per_loc() for s in shapes
+        )
+        assert anchors.shape[0] == want
+        assert per_level == [int(np.prod(s)) * cfg.anchors_per_loc() for s in shapes]
+
+    def test_channel_plan(self):
+        assert encoder_channels(5, 32, 320) == [32, 64, 128, 256, 320]
+        assert ufpn_out_channels(5, (1, 2, 3, 4), 128, 8) == [64, 128, 128, 128, 128]
+        assert ufpn_out_channels(6, (2, 3, 4, 5), 128, 8) == [32, 64, 128, 128, 128, 128]
+
+
+class TestTrainLoss:
+    def test_losses_finite_and_grad(self, model_and_params, np_rng):
+        cfg, model, params = model_and_params
+        batch = make_batch(cfg, np_rng)
+        anchors_np, per_level = cfg.anchors()
+        anchors = jnp.asarray(anchors_np)
+
+        def loss_fn(p):
+            preds = model.apply(p, batch["images"])
+            losses = train_step_loss(
+                cfg, preds, anchors, per_level, batch, jax.random.PRNGKey(1)
+            )
+            total = losses["cls"] + losses["reg"] + losses["seg_ce"] + losses["seg_dice"]
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        assert np.isfinite(float(total))
+        for k in ("cls", "reg", "seg_ce", "seg_dice"):
+            assert np.isfinite(float(losses[k])), k
+        assert float(losses["num_pos"]) > 0
+        flat, _ = jax.flatten_util.ravel_pytree(grads)
+        assert np.isfinite(np.asarray(flat)).all()
+        assert float(jnp.abs(flat).max()) > 0
+
+    def test_empty_gt_batch(self, model_and_params, np_rng):
+        cfg, model, params = model_and_params
+        batch = make_batch(cfg, np_rng)
+        batch["gt_mask"] = jnp.zeros_like(batch["gt_mask"])
+        preds = model.apply(params, batch["images"])
+        anchors_np, per_level = cfg.anchors()
+        losses = train_step_loss(
+            cfg, preds, jnp.asarray(anchors_np), per_level, batch, jax.random.PRNGKey(1)
+        )
+        assert float(losses["num_pos"]) == 0
+        assert np.isfinite(float(losses["cls"]))
+        assert np.isfinite(float(losses["reg"]))
+
+
+class TestPostprocess:
+    def test_shapes_and_validity(self, model_and_params, np_rng):
+        cfg, model, params = model_and_params
+        batch = make_batch(cfg, np_rng)
+        preds = model.apply(params, batch["images"])
+        anchors_np, _ = cfg.anchors()
+        out = batched_postprocess(
+            cfg, preds, jnp.asarray(anchors_np), cfg.patch_size
+        )
+        m = cfg.detections_per_img
+        assert out["boxes"].shape == (2, m, 6)
+        assert out["scores"].shape == (2, m)
+        assert out["labels"].shape == (2, m)
+        assert out["valid"].shape == (2, m)
+        # scores sorted descending among valid
+        s = np.asarray(out["scores"][0])
+        v = np.asarray(out["valid"][0])
+        sv = s[v]
+        assert (np.diff(sv) <= 1e-6).all()
+
+    def test_jit_compiles(self, model_and_params):
+        cfg, model, params = model_and_params
+        anchors_np, per_level = cfg.anchors()
+        anchors = jnp.asarray(anchors_np)
+
+        @jax.jit
+        def infer(p, images):
+            preds = model.apply(p, images)
+            return batched_postprocess(cfg, preds, anchors, cfg.patch_size)
+
+        images = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
+        out = infer(params, images)
+        assert out["boxes"].shape[1] == cfg.detections_per_img
