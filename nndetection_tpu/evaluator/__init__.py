@@ -1,0 +1,15 @@
+from nndetection_tpu.evaluator.coco import COCOMetric
+from nndetection_tpu.evaluator.froc import FROCMetric
+from nndetection_tpu.evaluator.det import BoxEvaluator, SegmentationEvaluator
+from nndetection_tpu.evaluator.matching import matching_batch
+from nndetection_tpu.evaluator.registry import evaluate_box_dir, evaluate_seg_dir
+
+__all__ = [
+    "COCOMetric",
+    "FROCMetric",
+    "BoxEvaluator",
+    "SegmentationEvaluator",
+    "matching_batch",
+    "evaluate_box_dir",
+    "evaluate_seg_dir",
+]

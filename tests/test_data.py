@@ -1,0 +1,235 @@
+from pathlib import Path
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nndetection_tpu.data import nifti
+from nndetection_tpu.data.crop import crop_to_nonzero
+from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
+from nndetection_tpu.data.example import generate_example_dataset
+from nndetection_tpu.data.gt_prep import prepare_targets
+from nndetection_tpu.data.instances import (
+    instances_to_boxes,
+    instances_to_boxes_np,
+    instances_to_segmentation_np,
+    instances_to_semantic,
+)
+from nndetection_tpu.data.patching import (
+    compute_grid,
+    pad_to_min_shape,
+    save_get_crop,
+    tile_weight_map,
+)
+from nndetection_tpu.data.resample import (
+    compute_new_shape,
+    get_do_separate_z,
+    resample_patient,
+    resample_seg,
+)
+from nndetection_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    get_generator_patch_size,
+)
+
+
+class TestNifti:
+    def test_roundtrip(self, rng, tmp_path):
+        data = rng.rand(8, 12, 10).astype(np.float32)
+        spacing = np.asarray([2.0, 1.0, 0.5])
+        nifti.save(tmp_path / "x.nii.gz", data, spacing)
+        back, sp, aff = nifti.load(tmp_path / "x.nii.gz")
+        np.testing.assert_allclose(back, data, rtol=1e-6)
+        np.testing.assert_allclose(sp, spacing)
+
+    def test_int_dtype(self, rng, tmp_path):
+        seg = rng.randint(0, 5, (6, 7, 8)).astype(np.int16)
+        nifti.save(tmp_path / "s.nii", seg)
+        back, _, _ = nifti.load(tmp_path / "s.nii")
+        np.testing.assert_array_equal(back, seg)
+
+
+class TestCrop:
+    def test_crop_to_nonzero(self):
+        data = np.zeros((1, 10, 10, 10), np.float32)
+        data[0, 2:8, 3:7, 1:9] = 1.0
+        seg = np.zeros((10, 10, 10), np.int16)
+        seg[4, 4, 4] = 1
+        d, s, props = crop_to_nonzero(data, seg)
+        assert d.shape == (1, 6, 4, 8)
+        assert props["crop_bbox"] == [[2, 8], [3, 7], [1, 9]]
+        assert s[2, 1, 3] == 1  # instance preserved at shifted coords
+        assert (s == -1).sum() == 0  # whole crop is in the nonzero mask
+
+    def test_outside_mask_marked(self):
+        # L-shaped body: the bounding box contains zero (air) voxels
+        data = np.zeros((1, 6, 6, 6), np.float32)
+        data[0, :3, :3] = 1.0
+        data[0, 3:, 3:] = 1.0
+        seg = np.zeros((6, 6, 6), np.int16)
+        d, s, props = crop_to_nonzero(data, seg)
+        assert (s == -1).any()
+        assert (s == 0).any()
+
+
+class TestResample:
+    def test_shape(self, rng):
+        data = rng.rand(1, 10, 12, 14).astype(np.float32)
+        seg = (rng.rand(10, 12, 14) > 0.9).astype(np.int16)
+        d, s = resample_patient(data, seg, (1, 1, 1), (0.5, 0.5, 0.5))
+        assert d.shape == (1, 20, 24, 28)
+        assert s.shape == (20, 24, 28)
+        assert set(np.unique(s)).issubset({0, 1})
+
+    def test_seg_label_preservation(self):
+        seg = np.zeros((8, 8, 8), np.int16)
+        seg[2:6, 2:6, 2:6] = 3
+        out = resample_seg(seg, (16, 16, 16))
+        assert set(np.unique(out)) == {0, 3}
+
+    def test_separate_z(self):
+        do, axis = get_do_separate_z((4.0, 1.0, 1.0))
+        assert do and axis == 0
+        do, _ = get_do_separate_z((1.0, 1.0, 1.0))
+        assert not do
+
+    def test_new_shape(self):
+        np.testing.assert_array_equal(
+            compute_new_shape((10, 10, 10), (2, 2, 2), (1, 1, 1)), [20, 20, 20]
+        )
+
+
+class TestInstances:
+    def test_boxes_np(self):
+        seg = np.zeros((10, 10, 10), np.int16)
+        seg[1:4, 2:5, 3:7] = 1
+        seg[6:9, 6:9, 6:9] = 2
+        boxes, ids = instances_to_boxes_np(seg)
+        assert ids == [1, 2]
+        np.testing.assert_array_equal(boxes[0], [1, 2, 4, 5, 3, 7])
+
+    def test_boxes_jnp_matches_np(self, rng):
+        seg = np.zeros((12, 12, 12), np.int32)
+        seg[1:4, 2:5, 3:7] = 1
+        seg[6:9, 6:9, 6:9] = 3
+        boxes_np, ids = instances_to_boxes_np(seg)
+        boxes_j, present = instances_to_boxes(jnp.asarray(seg), 4)
+        present = np.asarray(present)
+        assert present.tolist() == [True, False, True, False]
+        np.testing.assert_allclose(np.asarray(boxes_j)[0], boxes_np[0])
+        np.testing.assert_allclose(np.asarray(boxes_j)[2], boxes_np[1])
+
+    def test_semantic_mapping(self):
+        seg = np.asarray([[0, 1, 2, -1]], np.int32)
+        classes = jnp.asarray([1, 0], jnp.int32)  # id1 -> class1, id2 -> class0
+        out = np.asarray(instances_to_semantic(jnp.asarray(seg), classes))
+        np.testing.assert_array_equal(out, [[0, 2, 1, -1]])
+
+    def test_semantic_np(self):
+        seg = np.asarray([[0, 1, 2]], np.int16)
+        out = instances_to_segmentation_np(seg, {1: 1, 2: 0})
+        np.testing.assert_array_equal(out, [[0, 2, 1]])
+
+
+class TestPatching:
+    def test_grid_covers_case(self):
+        grid = compute_grid((100, 80, 60), (40, 40, 40), overlap=0.5)
+        assert grid.min() >= 0
+        for d, size in enumerate((100, 80, 60)):
+            assert (grid[:, d] + 40 <= size).all()
+            assert (grid[:, d] == 0).any()
+            assert (grid[:, d] == size - 40).any()
+
+    def test_grid_single_tile(self):
+        grid = compute_grid((40, 40, 40), (40, 40, 40))
+        assert grid.shape == (1, 3)
+
+    def test_save_get_crop_shift(self, rng):
+        data = rng.rand(1, 20, 20, 20)
+        crop, origin = save_get_crop(data, (15, 15, 15), (10, 10, 10))
+        assert crop.shape == (1, 10, 10, 10)
+        np.testing.assert_array_equal(origin, [10, 10, 10])
+
+    def test_pad_to_min_shape(self, rng):
+        data = rng.rand(1, 5, 20, 20)
+        padded, lower = pad_to_min_shape(data, (10, 10, 10))
+        assert padded.shape == (1, 10, 20, 20)
+        assert lower.tolist() == [2, 0, 0]
+
+    def test_weight_map(self):
+        w = tile_weight_map((8, 8, 8))
+        assert w.max() == pytest.approx(1.0)
+        assert w[0, 0, 0] < w[4, 4, 4]
+
+
+class TestExampleDataset:
+    def test_generate_and_discover(self, tmp_path):
+        task = generate_example_dataset(
+            tmp_path / "Task000_Example", num_train=2, num_test=1,
+            image_size=(32, 32, 32),
+        )
+        info = DatasetInfo.from_file(task / "dataset.yaml")
+        assert info.num_classes == 2
+        cases = discover_cases(
+            task / "raw_splitted" / "imagesTr",
+            task / "raw_splitted" / "labelsTr",
+            num_modalities=1,
+        )
+        assert len(cases) == 2
+        inst = cases[0].instances()
+        assert 1 in inst
+        data, sp, _ = nifti.load(cases[0].images[0])
+        assert data.shape == (32, 32, 32)
+
+
+class TestAugment:
+    def test_shapes_and_instances_survive(self, rng):
+        cfg = AugmentConfig(patch_size=(16, 16, 16), p_rotation=1.0, p_scale=1.0)
+        gen = get_generator_patch_size((16, 16, 16))
+        data = rng.rand(2, *gen, 1).astype(np.float32)
+        seg = np.zeros((2, *gen), np.int32)
+        c = tuple(g // 2 for g in gen)
+        seg[:, c[0] - 3 : c[0] + 3, c[1] - 3 : c[1] + 3, c[2] - 3 : c[2] + 3] = 1
+        d, s = jax.jit(
+            lambda k, d, s: augment_batch(k, d, s, cfg)
+        )(jax.random.PRNGKey(0), jnp.asarray(data), jnp.asarray(seg))
+        assert d.shape == (2, 16, 16, 16, 1)
+        assert s.shape == (2, 16, 16, 16)
+        # the centered instance must survive augmentation
+        assert (np.asarray(s) == 1).sum() > 0
+
+    def test_generator_patch_size_bigger(self):
+        gen = get_generator_patch_size((32, 32, 32), rotation_deg=30, scale_min=0.7)
+        assert all(g > 32 for g in gen)
+
+    def test_deterministic_given_key(self, rng):
+        cfg = AugmentConfig(patch_size=(8, 8, 8))
+        gen = get_generator_patch_size((8, 8, 8))
+        data = jnp.asarray(rng.rand(1, *gen, 1).astype(np.float32))
+        seg = jnp.zeros((1, *gen), jnp.int32)
+        d1, _ = augment_batch(jax.random.PRNGKey(5), data, seg, cfg)
+        d2, _ = augment_batch(jax.random.PRNGKey(5), data, seg, cfg)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+class TestGTPrep:
+    def test_targets(self):
+        seg = np.zeros((1, 8, 8, 8), np.int32)
+        seg[0, 1:4, 1:4, 1:4] = 1
+        seg[0, 5:7, 5:7, 5:7] = 2
+        table = np.full((1, 4), -1, np.int32)
+        table[0, 0] = 1  # id1 -> class 1
+        table[0, 1] = 0  # id2 -> class 0
+        images = np.zeros((1, 8, 8, 8, 1), np.float32)
+        out = prepare_targets(
+            jnp.asarray(images), jnp.asarray(seg), jnp.asarray(table)
+        )
+        mask = np.asarray(out["gt_mask"][0])
+        assert mask.tolist() == [True, True, False, False]
+        np.testing.assert_allclose(np.asarray(out["gt_boxes"][0, 0]), [1, 1, 4, 4, 1, 4])
+        assert np.asarray(out["gt_classes"][0]).tolist()[:2] == [1, 0]
+        sem = np.asarray(out["seg"][0])
+        assert sem[2, 2, 2] == 2  # class1 -> semantic 2
+        assert sem[5, 5, 5] == 1  # class0 -> semantic 1
