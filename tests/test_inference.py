@@ -1,0 +1,158 @@
+import numpy as np
+import pytest
+
+from nndetection_tpu.inference.ensembler import BoxEnsemblerSelective, SegmentationEnsembler
+from nndetection_tpu.inference.restore import restore_detection, restore_fmap
+from nndetection_tpu.inference.tta import get_tta_flips, flip_image, invert_boxes
+
+
+class TestTTA:
+    def test_num_variants(self):
+        assert len(get_tta_flips(3)) == 8
+        assert len(get_tta_flips(2)) == 4
+        assert get_tta_flips(3, enabled=False) == [()]
+
+    def test_flip_roundtrip(self, rng):
+        img = rng.rand(2, 8, 8, 8, 1)
+        for flips in get_tta_flips(3):
+            back = flip_image(flip_image(img, flips), flips)
+            np.testing.assert_array_equal(back, img)
+
+    def test_box_inversion(self):
+        # box found on a flipped tile maps back correctly
+        patch = (16, 16, 16)
+        box = np.asarray([[2, 3, 6, 8, 1, 5]], np.float64)
+        for flips in get_tta_flips(3):
+            inv = invert_boxes(invert_boxes(box, flips, patch), flips, patch)
+            np.testing.assert_allclose(inv, box)
+        inv = invert_boxes(box, (0,), patch)
+        np.testing.assert_allclose(inv[0], [10, 3, 14, 8, 1, 5])
+
+    def test_box_matches_flipped_object(self, rng):
+        """An object detected in a flipped volume maps to the original place."""
+        seg = np.zeros((10, 12, 14), np.int16)
+        seg[2:5, 3:6, 4:8] = 1
+        from nndetection_tpu.data.instances import instances_to_boxes_np
+
+        orig_box, _ = instances_to_boxes_np(seg)
+        flips = (0, 2)
+        flipped = np.flip(seg, axis=flips)
+        fbox, _ = instances_to_boxes_np(np.ascontiguousarray(flipped))
+        back = invert_boxes(fbox, flips, seg.shape)
+        np.testing.assert_allclose(back, orig_box)
+
+
+class TestBoxEnsembler:
+    def _fill(self, ens, stream, box, score, origin=(0, 0, 0)):
+        ens.add_model(stream)
+        ens.process_tile(
+            np.asarray([box], np.float32),
+            np.asarray([score], np.float32),
+            np.asarray([0], np.int64),
+            tile_origin=origin,
+            tile_size=(32, 32, 32),
+        )
+
+    def test_single_model_passthrough(self):
+        ens = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens, "m0", [10, 10, 20, 20, 10, 20], 0.9)
+        res = ens.get_case_result()
+        assert len(res["pred_boxes"]) == 1
+        np.testing.assert_allclose(res["pred_boxes"][0], [10, 10, 20, 20, 10, 20])
+
+    def test_tile_offset_applied(self):
+        ens = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens, "m0", [0, 0, 8, 8, 0, 8], 0.9, origin=(16, 20, 24))
+        res = ens.get_case_result()
+        np.testing.assert_allclose(res["pred_boxes"][0], [16, 20, 24, 28, 24, 32])
+
+    def test_cross_model_wbc_merges(self):
+        ens = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens, "m0", [10, 10, 20, 20, 10, 20], 0.8)
+        self._fill(ens, "m1", [11, 11, 21, 21, 11, 21], 0.6)
+        res = ens.get_case_result()
+        assert len(res["pred_boxes"]) == 1  # clustered
+        # found by both models -> no missing-prediction dampening; score between
+        assert 0.6 < res["pred_scores"][0] <= 0.82
+
+    def test_missing_model_dampens_score(self):
+        ens2 = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens2, "m0", [10, 10, 20, 20, 10, 20], 0.8)
+        self._fill(ens2, "m1", [11, 11, 21, 21, 11, 21], 0.8)
+        both = ens2.get_case_result()["pred_scores"][0]
+
+        ens1 = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens1, "m0", [10, 10, 20, 20, 10, 20], 0.8)
+        ens1.add_model("m1")  # m1 found nothing
+        single = ens1.get_case_result()["pred_scores"][0]
+        assert single < both
+
+    def test_state_roundtrip(self, tmp_path):
+        ens = BoxEnsemblerSelective((64, 64, 64))
+        self._fill(ens, "m0", [10, 10, 20, 20, 10, 20], 0.9)
+        ens.save_state(tmp_path, "case_0")
+        back = BoxEnsemblerSelective.from_checkpoint(
+            tmp_path / "case_0_boxes_state.pkl"
+        )
+        res = back.get_case_result()
+        assert len(res["pred_boxes"]) == 1
+
+    def test_border_weight_plateau(self):
+        w_center = BoxEnsemblerSelective._get_box_in_tile_weight(
+            np.asarray([[16.0, 16.0, 16.0]]), (32, 32, 32)
+        )
+        w_corner = BoxEnsemblerSelective._get_box_in_tile_weight(
+            np.asarray([[0.0, 0.0, 0.0]]), (32, 32, 32)
+        )
+        assert w_center[0] == pytest.approx(1.0)
+        assert w_corner[0] == pytest.approx(0.5)
+
+
+class TestSegEnsembler:
+    def test_overlap_normalization(self):
+        ens = SegmentationEnsembler((8, 8, 8), num_classes=2)
+        probs = np.zeros((8, 8, 4, 2), np.float32)
+        probs[..., 1] = 0.9
+        probs[..., 0] = 0.1
+        ens.process_tile(probs, (0, 0, 0))
+        ens.process_tile(probs, (0, 0, 4))
+        seg = ens.get_case_result()
+        assert (seg == 1).all()
+
+
+class TestRestore:
+    def test_restore_detection(self):
+        boxes = np.asarray([[4, 8, 8, 16, 2, 6]], np.float64)
+        out = restore_detection(
+            boxes,
+            transpose_forward=[0, 1, 2],
+            original_spacing=[1.0, 1.0, 1.0],
+            resampled_spacing=[2.0, 0.5, 1.0],
+            crop_bbox=[[5, 99], [10, 99], [15, 99]],
+        )
+        # axis0 scaled by 2, axis1 by 0.5, axis2 by 1, plus crop offsets
+        np.testing.assert_allclose(out[0], [13, 14, 21, 18, 17, 21])
+
+    def test_restore_with_transpose(self):
+        boxes = np.asarray([[0, 0, 2, 4, 0, 6]], np.float64)  # transposed space
+        out = restore_detection(
+            boxes,
+            transpose_forward=[2, 0, 1],
+            original_spacing=[1, 1, 1],
+            resampled_spacing=[1, 1, 1],
+        )
+        # inverse of (2,0,1) is (1,2,0): sizes (2,4,6) -> axes (4,6,2)
+        np.testing.assert_allclose(out[0], [0, 0, 4, 6, 0, 2])
+
+    def test_restore_fmap(self):
+        seg = np.ones((4, 4, 4), np.int16)
+        out = restore_fmap(
+            seg,
+            transpose_forward=[0, 1, 2],
+            original_shape_cropped=(8, 8, 8),
+            original_shape=(12, 12, 12),
+            crop_bbox=[[2, 10], [2, 10], [2, 10]],
+        )
+        assert out.shape == (12, 12, 12)
+        assert out[5, 5, 5] == 1
+        assert out[0, 0, 0] == 0
