@@ -1,0 +1,300 @@
+"""Experiment planner: dataset properties -> full training plan.
+
+Self-configuration orchestration mirroring ``D3V001``
+(``/root/reference/nndet/planning/experiment/v001.py:17-210`` +
+``architecture/boxes/c002.py:24-341``): target spacing with anisotropy rule,
+lowest-resolution-axis-first transpose, per-modality normalization schemes,
+patch/topology search against an HBM budget, black-box anchor optimization,
+and the low-resolution fallback stage trigger.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nndetection_tpu.data.dataset import DatasetInfo
+from nndetection_tpu.models.encoder import encoder_strides
+from nndetection_tpu.models.retina_unet import RetinaUNetConfig
+from nndetection_tpu.planning.architecture import (
+    get_pool_and_conv_props,
+    initial_patch_size,
+    plan_decoder_levels,
+    shrink_largest_axis,
+)
+from nndetection_tpu.planning.anchors_opt import (
+    filter_boxes_by_volume,
+    optimize_anchors,
+)
+from nndetection_tpu.planning.estimator import (
+    DEFAULT_BUDGET,
+    analytic_estimate,
+)
+from nndetection_tpu.utils.registry import PLANNER_REGISTRY
+
+ANISO_THRESHOLD = 3.0
+
+
+@dataclass
+class Plan:
+    plan_id: str
+    dim: int
+    target_spacing: List[float]
+    transpose_forward: List[int]
+    normalization_schemes: List[str]
+    intensity_properties: Dict[int, Dict[str, float]]
+    use_nonzero_mask: bool
+    patch_size: List[int]
+    batch_size: int
+    conv_kernels: List[List[int]]
+    pool_strides: List[List[int]]
+    decoder_levels: Tuple[int, ...]
+    anchors: Dict[str, List]
+    in_channels: int
+    num_classes: int
+    seg_classes: int
+    start_channels: int = 32
+    max_channels: int = 320
+    fpn_channels: int = 128
+    head_channels: int = 128
+    max_instances_per_patch: int = 32
+    class_weights: Optional[List[float]] = None
+    anchor_score: float = 0.0
+    mem_estimate_bytes: int = 0
+    requires_lowres: bool = False
+
+    def model_config(self, **overrides) -> RetinaUNetConfig:
+        """Materialize the architecture config for this plan."""
+        kw = dict(
+            dim=self.dim,
+            in_channels=self.in_channels,
+            classifier_classes=self.num_classes,
+            seg_classes=self.num_classes,
+            start_channels=self.start_channels,
+            max_channels=self.max_channels,
+            fpn_channels=self.fpn_channels,
+            head_channels=self.head_channels,
+            conv_kernels=tuple(tuple(k) for k in self.conv_kernels),
+            strides=tuple(tuple(s) for s in self.pool_strides),
+            decoder_levels=tuple(self.decoder_levels),
+            patch_size=tuple(self.patch_size),
+            anchor_width=tuple(tuple(w) for w in self.anchors["width"]),
+            anchor_height=tuple(tuple(h) for h in self.anchors["height"]),
+            anchor_depth=tuple(tuple(d) for d in self.anchors["depth"]),
+        )
+        kw.update(overrides)
+        return RetinaUNetConfig(**kw)
+
+
+@PLANNER_REGISTRY.register(name="D3V001")
+class Planner:
+    """TPU-native equivalent of planner ``D3V001`` + architecture planner
+    ``BoxC002``."""
+
+    def __init__(
+        self,
+        hbm_budget: int = DEFAULT_BUDGET,
+        batch_size: int = 4,
+        anchor_budget: int = 3000,
+        plan_tag: str = "D3V001_3d",
+    ):
+        self.hbm_budget = hbm_budget
+        self.batch_size = batch_size
+        self.anchor_budget = anchor_budget
+        self.plan_tag = plan_tag
+
+    # ------------------------------------------------------------------
+    def plan_target_spacing(self, all_spacings: np.ndarray) -> np.ndarray:
+        """Median spacing; anisotropic axis uses its 10th percentile
+        (``v001.py:148-184``)."""
+        target = np.median(all_spacings, axis=0)
+        if target.max() / max(target.min(), 1e-8) > ANISO_THRESHOLD:
+            aniso = int(np.argmax(target))
+            target[aniso] = np.percentile(all_spacings[:, aniso], 10)
+        return target
+
+    def plan_transpose(self, target_spacing: np.ndarray) -> List[int]:
+        """Lowest-resolution (largest spacing) axis first (``v001.py:105-123``)."""
+        order = list(np.argsort(-target_spacing, kind="stable"))
+        return [int(o) for o in order]
+
+    def plan_normalization(
+        self, info: DatasetInfo, intensity: Dict[int, Dict[str, float]]
+    ) -> Tuple[List[str], bool]:
+        schemes = []
+        for c in sorted(info.modalities):
+            name = str(info.modalities[c]).upper()
+            if name == "CT":
+                schemes.append("CT")
+            elif name == "CT2":
+                schemes.append("CT2")
+            else:
+                schemes.append("nonCT")
+        use_nonzero = all(s not in ("CT", "CT2") for s in schemes)
+        return schemes, use_nonzero
+
+    # ------------------------------------------------------------------
+    def plan_architecture(
+        self,
+        target_spacing: np.ndarray,
+        median_shape: np.ndarray,
+        in_channels: int,
+        num_classes: int,
+    ) -> Dict[str, Any]:
+        """Patch/topology search loop: shrink the largest axis until the HBM
+        estimate fits (``c002.py:165-227``)."""
+        patch = initial_patch_size(target_spacing, median_shape)
+        while True:
+            pool, kernels, must_div, patch_final = get_pool_and_conv_props(
+                target_spacing, patch
+            )
+            decoder_levels = plan_decoder_levels(len(kernels))
+            est = analytic_estimate(
+                patch_size=patch_final,
+                batch_size=self.batch_size,
+                in_channels=in_channels,
+                conv_kernels=kernels,
+                strides=pool,
+                decoder_levels=decoder_levels,
+                num_classes=num_classes,
+            )
+            if est.fits(self.hbm_budget) or max(patch_final) <= 32:
+                return {
+                    "patch_size": list(patch_final),
+                    "pool_strides": pool,
+                    "conv_kernels": kernels,
+                    "decoder_levels": decoder_levels,
+                    "mem_estimate_bytes": est.total_bytes,
+                }
+            patch = shrink_largest_axis(patch_final, must_div)
+
+    # ------------------------------------------------------------------
+    def plan_anchors(
+        self,
+        arch: Dict[str, Any],
+        boxes_vox: np.ndarray,
+        dim: int = 3,
+    ) -> Tuple[Dict[str, List], float]:
+        """Optimize level-0 anchor sizes; scale for deeper levels by relative
+        stride (``c002.py:244-275``)."""
+        num_stages = len(arch["conv_kernels"])
+        strides_abs = encoder_strides(num_stages, arch["pool_strides"], dim)
+        dls = arch["decoder_levels"]
+        base = np.asarray(strides_abs[dls[0]], dtype=np.float64)
+        rel_strides = [
+            (np.asarray(strides_abs[l], dtype=np.float64) / base).tolist()
+            for l in dls
+        ]
+        sizes = filter_boxes_by_volume(boxes_vox)
+        params, score = optimize_anchors(
+            sizes, rel_strides, budget=self.anchor_budget
+        )
+        w0, h0, d0 = params[0:3], params[3:6], params[6:9]
+        anchors = {"width": [], "height": [], "depth": []}
+        for rs in rel_strides:
+            anchors["width"].append([float(v * rs[0]) for v in w0])
+            anchors["height"].append([float(v * rs[1]) for v in h0])
+            anchors["depth"].append([float(v * rs[2]) for v in d0])
+        return anchors, score
+
+    # ------------------------------------------------------------------
+    def plan_experiment(
+        self,
+        dataset_properties: Dict[str, Any],
+        info: DatasetInfo,
+    ) -> Plan:
+        spacings = np.asarray(dataset_properties["all_spacings"], dtype=np.float64)
+        shapes = np.asarray(dataset_properties["all_shapes"], dtype=np.float64)
+        target = self.plan_target_spacing(spacings)
+        transpose = self.plan_transpose(target)
+        target_t = target[transpose]
+
+        # median shape in target spacing (transposed axis order)
+        shapes_t = shapes[:, transpose]
+        spacings_t = spacings[:, transpose]
+        resampled = shapes_t * spacings_t / target_t[None]
+        median_shape = np.median(resampled, axis=0)
+
+        schemes, use_nonzero = self.plan_normalization(
+            info, dataset_properties["intensity_properties"]
+        )
+
+        arch = self.plan_architecture(
+            target_t, median_shape, info.num_modalities, info.num_classes
+        )
+
+        # GT boxes in voxels of the target spacing (transposed order)
+        boxes_mm = np.asarray(dataset_properties["boxes_mm"], dtype=np.float64)
+        if len(boxes_mm):
+            sizes_mm = np.stack(
+                [
+                    boxes_mm[:, 2] - boxes_mm[:, 0],
+                    boxes_mm[:, 3] - boxes_mm[:, 1],
+                    boxes_mm[:, 5] - boxes_mm[:, 4],
+                ],
+                axis=1,
+            )[:, transpose]
+            boxes_vox = sizes_mm / target_t[None]
+        else:
+            boxes_vox = np.zeros((0, 3))
+        anchors, anchor_score = self.plan_anchors(arch, boxes_vox)
+
+        # instance budget per patch
+        counts = [
+            p.get("num_instances", 0)
+            for p in dataset_properties.get("per_case", {}).values()
+        ]
+        max_inst = int(min(max(np.percentile(counts, 99) if counts else 8, 8), 64))
+
+        # class weights (frequency-balanced, ``base.py:228-248``)
+        classes = np.asarray(dataset_properties.get("instance_classes", []))
+        weights = None
+        if len(classes):
+            counts_c = np.bincount(classes.astype(int), minlength=info.num_classes)
+            inv = 1.0 / np.maximum(counts_c, 1)
+            weights = (inv / inv.sum() * len(counts_c)).tolist()
+
+        # low-res stage trigger (``v001.py:186-210``)
+        requires_lowres = False
+        if len(boxes_vox):
+            big = np.percentile(boxes_vox, 99.5, axis=0)
+            requires_lowres = bool(np.any(big > np.asarray(arch["patch_size"])))
+
+        return Plan(
+            plan_id=self.plan_tag,
+            dim=info.dim,
+            target_spacing=[float(t) for t in target_t],
+            transpose_forward=transpose,
+            normalization_schemes=schemes,
+            intensity_properties=dataset_properties["intensity_properties"],
+            use_nonzero_mask=use_nonzero,
+            patch_size=arch["patch_size"],
+            batch_size=self.batch_size,
+            conv_kernels=arch["conv_kernels"],
+            pool_strides=arch["pool_strides"],
+            decoder_levels=arch["decoder_levels"],
+            anchors=anchors,
+            in_channels=info.num_modalities,
+            num_classes=info.num_classes,
+            seg_classes=info.num_classes,
+            max_instances_per_patch=max_inst,
+            class_weights=weights,
+            anchor_score=float(anchor_score),
+            mem_estimate_bytes=arch["mem_estimate_bytes"],
+            requires_lowres=requires_lowres,
+        )
+
+    def plan_lowres(self, plan: Plan, dataset_properties, info) -> Plan:
+        """Derived low-resolution stage: spacing x2 (``v001.py:50-70``)."""
+        lr = Planner(
+            hbm_budget=self.hbm_budget,
+            batch_size=self.batch_size,
+            anchor_budget=self.anchor_budget,
+            plan_tag=self.plan_tag.replace("_3d", "_3dlr1"),
+        )
+        props = dict(dataset_properties)
+        props["all_spacings"] = np.asarray(dataset_properties["all_spacings"]) * 2.0
+        out = lr.plan_experiment(props, info)
+        out.requires_lowres = False
+        return out

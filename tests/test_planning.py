@@ -1,0 +1,145 @@
+import numpy as np
+import pytest
+
+from nndetection_tpu.data.dataset import DatasetInfo
+from nndetection_tpu.planning import (
+    Planner,
+    analytic_estimate,
+    get_pool_and_conv_props,
+    initial_patch_size,
+    optimize_anchors,
+    plan_decoder_levels,
+)
+from nndetection_tpu.planning.anchors_opt import anchor_set_from_params, centered_iou
+
+
+class TestArchPlanning:
+    def test_isotropic_pooling(self):
+        pool, kernels, must_div, patch = get_pool_and_conv_props(
+            (1.0, 1.0, 1.0), (128, 128, 128)
+        )
+        # 128 -> pools down to 4: five 2x pools
+        assert len(pool) == 5
+        assert all(p == [2, 2, 2] for p in pool)
+        assert must_div == [32, 32, 32]
+        assert all(k == [3, 3, 3] for k in kernels)
+
+    def test_anisotropic_pooling(self):
+        pool, kernels, must_div, patch = get_pool_and_conv_props(
+            (4.0, 1.0, 1.0), (32, 128, 128)
+        )
+        # z (axis0) must not pool until its spacing is within 2x of in-plane
+        assert pool[0] == [1, 2, 2]
+        assert kernels[0][0] == 1  # anisotropic axis starts with kernel 1
+        assert kernels[-1] == [3, 3, 3]
+
+    def test_small_patch_limits_pooling(self):
+        pool, _, must_div, _ = get_pool_and_conv_props((1, 1, 1), (16, 16, 16))
+        assert len(pool) == 2  # 16 -> 8 -> 4 (min feature map 4)
+
+    def test_decoder_levels(self):
+        assert plan_decoder_levels(6) == (2, 3, 4, 5)
+        assert plan_decoder_levels(5) == (1, 2, 3, 4)
+        assert plan_decoder_levels(4) == (1, 2, 3)
+        assert plan_decoder_levels(3) == (1, 2)
+
+    def test_initial_patch_clipped_to_median(self):
+        p = initial_patch_size((1.0, 1.0, 1.0), (100, 200, 200))
+        assert p[0] == 80 or p[0] == 100  # clipped by median on axis 0 or FOV
+        assert p[0] <= 100
+
+    def test_memory_estimate_monotonic(self):
+        kw = dict(
+            batch_size=4,
+            in_channels=1,
+            conv_kernels=[[3, 3, 3]] * 5,
+            strides=[[2, 2, 2]] * 4,
+            decoder_levels=(1, 2, 3, 4),
+        )
+        small = analytic_estimate(patch_size=(64, 64, 64), **kw)
+        big = analytic_estimate(patch_size=(128, 128, 128), **kw)
+        assert big.total_bytes > small.total_bytes
+
+
+class TestAnchorOpt:
+    def test_centered_iou(self):
+        a = np.asarray([[2.0, 2.0, 2.0]])
+        b = np.asarray([[2.0, 2.0, 2.0], [4.0, 4.0, 4.0]])
+        iou = centered_iou(a, b)
+        assert iou[0, 0] == pytest.approx(1.0)
+        assert iou[0, 1] == pytest.approx(8 / 64)
+
+    def test_optimizer_recovers_sizes(self, rng):
+        # boxes drawn near two distinct scales -> anchors should cover both
+        sizes = np.concatenate(
+            [
+                rng.uniform(7, 9, (60, 3)),
+                rng.uniform(20, 24, (60, 3)),
+            ]
+        )
+        params, score = optimize_anchors(
+            sizes, [[1, 1, 1], [2, 2, 2]], budget=800, restarts=1
+        )
+        assert score > 0.55  # mean max-IoU well above a single-scale guess
+
+    def test_anchor_set_scaling(self):
+        params = np.asarray([2, 4, 8, 2, 4, 8, 2, 4, 8], np.float64)
+        s = anchor_set_from_params(params, [[1, 1, 1], [2, 2, 2]])
+        assert s.shape == (54, 3)
+        np.testing.assert_allclose(s[27], s[0] * 2)
+
+
+class TestPlanner:
+    def _props(self, rng, n_cases=10, aniso=False):
+        spacing = np.asarray([3.0, 0.8, 0.8]) if aniso else np.asarray([1.0, 1.0, 1.0])
+        spacings = np.tile(spacing, (n_cases, 1)) * rng.uniform(0.9, 1.1, (n_cases, 3))
+        shapes = np.tile(np.asarray([64, 256, 256] if aniso else [160, 160, 160]),
+                         (n_cases, 1))
+        boxes = []
+        for _ in range(40):
+            size = rng.uniform(5, 20, 3)
+            boxes.append([0, 0, size[0], size[1], 0, size[2]])
+        return {
+            "all_spacings": spacings,
+            "all_shapes": shapes,
+            "intensity_properties": {
+                0: {"mean": 0.0, "sd": 1.0, "percentile_00_5": -2.0,
+                    "percentile_99_5": 2.0, "min": -5.0, "max": 5.0}
+            },
+            "boxes_mm": np.asarray(boxes),
+            "instance_classes": rng.randint(0, 2, 40),
+            "per_case": {f"c{i}": {"num_instances": int(rng.randint(1, 5))}
+                         for i in range(n_cases)},
+        }
+
+    def test_full_plan(self, rng):
+        info = DatasetInfo(task="T", modalities={0: "CT"}, labels={0: "a", 1: "b"})
+        planner = Planner(anchor_budget=400)
+        plan = planner.plan_experiment(self._props(rng), info)
+        assert plan.dim == 3
+        assert plan.normalization_schemes == ["CT"]
+        assert len(plan.conv_kernels) == len(plan.pool_strides) + 1
+        assert max(plan.decoder_levels) < len(plan.conv_kernels)
+        assert len(plan.anchors["width"]) == len(plan.decoder_levels)
+        assert plan.mem_estimate_bytes > 0
+        cfg = plan.model_config()
+        anchors, per_level = cfg.anchors()
+        assert anchors.shape[0] == sum(per_level)
+
+    def test_aniso_transpose(self, rng):
+        info = DatasetInfo(task="T", modalities={0: "MR"}, labels={0: "a"})
+        planner = Planner(anchor_budget=200)
+        plan = planner.plan_experiment(self._props(rng, aniso=True), info)
+        assert plan.transpose_forward[0] == 0  # largest-spacing axis first
+        assert plan.normalization_schemes == ["nonCT"]
+        assert plan.use_nonzero_mask
+        # anisotropic: first pool stride should not pool axis 0
+        assert plan.pool_strides[0][0] == 1
+
+    def test_memory_budget_shrinks_patch(self, rng):
+        info = DatasetInfo(task="T", modalities={0: "CT"}, labels={0: "a"})
+        big = Planner(anchor_budget=100).plan_experiment(self._props(rng), info)
+        small = Planner(
+            hbm_budget=big.mem_estimate_bytes // 3, anchor_budget=100
+        ).plan_experiment(self._props(rng), info)
+        assert np.prod(small.patch_size) < np.prod(big.patch_size)
