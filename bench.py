@@ -1,0 +1,144 @@
+"""Training-throughput benchmark on real hardware.
+
+Measures the FULL jitted train step (on-device augmentation + GT prep + ATSS
+assignment + hard-negative sampling + losses + SGD update) of the flagship
+Retina U-Net at a LUNA16-scale plan (patch 96x160x160 per
+``docs/results``-era plans; falls back to smaller patches if HBM is tight).
+
+Prints ONE JSON line:
+``{"metric": "train_patches_per_sec_per_chip", "value": N,
+   "unit": "patches/s", "vs_baseline": N / 8.0}``
+
+Baseline note: the reference publishes no throughput numbers (SURVEY.md §6).
+``vs_baseline`` is computed against 8 patches/s — an estimated A100 nnDetection
+training rate (batch 4 at ~0.5 s/step); the BASELINE.json target is >= 2x that.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_PATCHES_PER_S = 8.0
+
+
+def luna_cfg(patch, dtype="bfloat16"):
+    from nndetection_tpu.models import RetinaUNetConfig
+
+    # LUNA16-like plan: 5 stages, isotropic pooling, 27 anchors/pos
+    return RetinaUNetConfig(
+        conv_kernels=((3, 3, 3),) * 5,
+        strides=((2, 2, 2),) * 4,
+        decoder_levels=(1, 2, 3, 4),
+        patch_size=tuple(patch),
+        anchor_width=((4.0, 6.0, 10.0),) * 4,
+        anchor_height=((4.0, 6.0, 10.0),) * 4,
+        anchor_depth=((4.0, 6.0, 10.0),) * 4,
+        start_channels=32,
+        max_channels=320,
+        fpn_channels=128,
+        head_channels=128,
+        dtype=dtype,
+    )
+
+
+def make_batch(rng, batch, gen_patch, in_channels=1, max_inst=8):
+    seg = np.zeros((batch, *gen_patch), np.int32)
+    for b in range(batch):
+        c = [rng.randint(12, g - 12) for g in gen_patch]
+        r = rng.randint(3, 8)
+        seg[b, c[0] - r : c[0] + r, c[1] - r : c[1] + r, c[2] - r : c[2] + r] = 1
+    table = np.full((batch, max_inst), -1, np.int32)
+    table[:, 0] = 0
+    return {
+        "images": rng.standard_normal((batch, *gen_patch, in_channels)).astype(
+            np.float32
+        ),
+        "seg_instances": seg,
+        "instance_classes": table,
+    }
+
+
+def run(patch, batch, steps, warmup, aug: bool) -> float:
+    import jax
+
+    from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
+    from nndetection_tpu.parallel.mesh import make_mesh, shard_batch
+    from nndetection_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = luna_cfg(patch)
+    tcfg = TrainerConfig(batch_size=batch, warm_iterations=10)
+    aug_cfg = AugmentConfig(patch_size=cfg.patch_size) if aug else None
+    n_dev = len(jax.devices())
+    import math
+
+    mesh = make_mesh(n_data=math.gcd(batch, n_dev))
+    trainer = Trainer(cfg, tcfg, mesh=mesh, augment_cfg=aug_cfg)
+    state = trainer.init_state()
+
+    gen_patch = get_generator_patch_size(patch) if aug else tuple(patch)
+    rng = np.random.RandomState(0)
+    batch_np = make_batch(rng, batch, gen_patch, cfg.in_channels)
+    db = shard_batch(mesh, batch_np)
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, losses = trainer._train_step(state, db, sub)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, losses = trainer._train_step(state, db, sub)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(losses["total"])), "non-finite loss in benchmark"
+    return steps * batch / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--patch", type=int, nargs=3, default=None)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--no_aug", action="store_true")
+    args = p.parse_args()
+
+    candidates = (
+        [tuple(args.patch)]
+        if args.patch
+        else [(96, 160, 160), (96, 128, 128), (64, 96, 96), (32, 64, 64)]
+    )
+    value = None
+    last_err = None
+    for patch in candidates:
+        try:
+            value = run(patch, args.batch, args.steps, args.warmup, not args.no_aug)
+            used_patch = patch
+            break
+        except Exception as e:  # noqa: BLE001 — OOM etc: try smaller patch
+            last_err = e
+            print(f"# patch {patch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    if value is None:
+        raise SystemExit(f"benchmark failed at all patch sizes: {last_err}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_patches_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "patches/s",
+                "vs_baseline": round(value / A100_BASELINE_PATCHES_PER_S, 3),
+            }
+        )
+    )
+    print(f"# patch={used_patch} batch={args.batch} steps={args.steps}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

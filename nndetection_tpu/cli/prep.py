@@ -1,0 +1,53 @@
+"""``nndet_prep``: dataset checks -> crop -> analyze -> plan -> preprocess
+(reference ``scripts/preprocess.py:46-413``)."""
+from __future__ import annotations
+
+import logging
+
+from nndetection_tpu.cli.common import base_parser, resolve_task, setup_logging
+from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
+from nndetection_tpu.pipeline import run_prep
+from nndetection_tpu.planning.planner import Planner
+from nndetection_tpu.utils.config import compose
+
+log = logging.getLogger("nndet")
+
+
+def check_dataset(task_dir) -> None:
+    """Schema + consistency checks (``utils/check.py:77-315``)."""
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    splitted = task_dir / "raw_splitted"
+    cases = discover_cases(
+        splitted / "imagesTr", splitted / "labelsTr", info.num_modalities
+    )
+    problems = []
+    for c in cases:
+        if c.label is None:
+            problems.append(f"{c.case_id}: missing label")
+        if c.label_json is None:
+            problems.append(f"{c.case_id}: missing instances json")
+    if problems:
+        raise RuntimeError("dataset check failed:\n" + "\n".join(problems))
+    log.info(f"dataset check passed: {len(cases)} training cases")
+
+
+def main() -> None:
+    parser = base_parser("Plan and preprocess a dataset")
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--full_check", action="store_true")
+    args = parser.parse_args()
+    cfg = compose(overrides=args.overrides)
+
+    task_dir = resolve_task(args.task)
+    setup_logging(task_dir / "preprocessed" / "prep.log")
+    check_dataset(task_dir)
+    plan = run_prep(task_dir, num_workers=args.num_workers, planner=Planner())
+    log.info(
+        f"plan {plan.plan_id}: patch={plan.patch_size} batch={plan.batch_size} "
+        f"spacing={plan.target_spacing} anchors_score={plan.anchor_score:.3f} "
+        f"mem={plan.mem_estimate_bytes / 1e9:.2f}GB lowres={plan.requires_lowres}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Utility entry points: ``nndet_unpack``, ``nndet_boxes2nii``,
+``nndet_seg2nii``, ``nndet_env`` (reference ``scripts/utils.py:17-235``)."""
+from __future__ import annotations
+
+import argparse
+import platform
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from nndetection_tpu.data import nifti
+from nndetection_tpu.data.preprocess import unpack_dataset
+from nndetection_tpu.utils.io import load_pickle
+
+
+def main_unpack() -> None:
+    parser = argparse.ArgumentParser(description="Unpack npz -> npy for memmaps")
+    parser.add_argument("dir", type=str)
+    args = parser.parse_args()
+    unpack_dataset(args.dir)
+
+
+def main_boxes2nii() -> None:
+    """Export box predictions as a labelled NIfTI volume for visualization."""
+    parser = argparse.ArgumentParser(description="Export boxes to nii masks")
+    parser.add_argument("pred_dir", type=str)
+    parser.add_argument("out_dir", type=str)
+    parser.add_argument("--shape_dir", type=str, default=None,
+                        help="dir with {case}.pkl props for target shapes")
+    parser.add_argument("--score_thresh", type=float, default=0.0)
+    args = parser.parse_args()
+    pred_dir, out_dir = Path(args.pred_dir), Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for p in sorted(pred_dir.glob("*_boxes.pkl")):
+        cid = p.name[: -len("_boxes.pkl")]
+        pred = load_pickle(p)
+        boxes = np.asarray(pred["pred_boxes"])
+        scores = np.asarray(pred["pred_scores"])
+        keep = scores >= args.score_thresh
+        boxes = boxes[keep]
+        if args.shape_dir and (Path(args.shape_dir) / f"{cid}.pkl").exists():
+            props = load_pickle(Path(args.shape_dir) / f"{cid}.pkl")
+            shape = props.get("shape_after_resampling") or props.get("shape_after_crop")
+        else:
+            shape = tuple(
+                int(np.ceil(boxes[:, i].max())) + 1 if len(boxes) else 64
+                for i in (2, 3, 5)
+            )
+        vol = np.zeros(shape, np.int16)
+        for i, b in enumerate(boxes, start=1):
+            sl = tuple(
+                slice(max(0, int(b[j])), min(s, int(np.ceil(b[k]))))
+                for j, k, s in ((0, 2, shape[0]), (1, 3, shape[1]), (4, 5, shape[2]))
+            )
+            vol[sl] = i
+        nifti.save(out_dir / f"{cid}_boxes.nii.gz", vol)
+    print(f"exported {out_dir}")
+
+
+def main_seg2nii() -> None:
+    parser = argparse.ArgumentParser(description="Export seg npz to nii")
+    parser.add_argument("pred_dir", type=str)
+    parser.add_argument("out_dir", type=str)
+    args = parser.parse_args()
+    pred_dir, out_dir = Path(args.pred_dir), Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for p in sorted(pred_dir.glob("*_seg.npz")):
+        cid = p.name[: -len("_seg.npz")]
+        with np.load(p) as f:
+            nifti.save(out_dir / f"{cid}_seg.nii.gz", f["seg"].astype(np.int16))
+    print(f"exported {out_dir}")
+
+
+def main_env() -> None:
+    """Environment dump (``nndet_env``)."""
+    import jax
+
+    print(f"python: {sys.version.split()[0]} on {platform.platform()}")
+    print(f"jax: {jax.__version__}")
+    try:
+        print(f"devices: {jax.devices()}")
+    except Exception as e:  # noqa: BLE001
+        print(f"devices: unavailable ({e})")
+    import os
+
+    for var in ("det_data", "det_models", "det_num_threads", "det_verbose"):
+        print(f"{var}={os.environ.get(var, '<unset>')}")
+
+
+if __name__ == "__main__":
+    main_env()

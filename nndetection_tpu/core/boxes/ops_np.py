@@ -72,9 +72,16 @@ def nms_np(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.nd
     """Greedy NMS; returns kept indices sorted by descending score.
 
     Reference semantics: ``/root/reference/nndet/core/boxes/nms.py:31-53``.
+    Dispatches to the native C++ kernel (csrc/nndet_host.cpp) when built.
     """
     if len(boxes) == 0:
         return np.zeros((0,), dtype=np.int64)
+    if boxes.shape[-1] == 6:
+        from nndetection_tpu.ops.native import nms_native
+
+        keep = nms_native(boxes, scores, iou_threshold)
+        if keep is not None:
+            return keep
     order = np.argsort(-scores, kind="stable")
     iou = box_iou_np(boxes[order], boxes[order])
     n = len(order)

@@ -164,9 +164,20 @@ def wbc_np(
     use_area: bool = False,
     missing_weight: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Reference-faithful host implementation (golden for :func:`wbc`)."""
+    """Reference-faithful host implementation (golden for :func:`wbc`).
+    Dispatches to the native C++ kernel (csrc/nndet_host.cpp) when built."""
     if len(boxes) == 0:
         return np.zeros((0, boxes.shape[-1] if boxes.ndim == 2 else 6)), np.zeros((0,))
+    if boxes.shape[-1] == 6:
+        from nndetection_tpu.ops.native import wbc_native
+
+        out = wbc_native(
+            boxes, scores, weights, n_exp_preds,
+            iou_thresh=iou_thresh, score_thresh=score_thresh,
+            use_area=use_area, missing_weight=missing_weight,
+        )
+        if out is not None:
+            return out
     boxes = boxes.astype(np.float64)
     scores = scores.astype(np.float64)
     w = weights.astype(np.float64)

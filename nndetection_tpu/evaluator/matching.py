@@ -99,6 +99,22 @@ def _matching_single_image_single_class(
     ious = iou_fn(pred_boxes, gt_boxes)
     num_preds, num_gts = ious.shape
     t = len(iou_thresholds)
+
+    from nndetection_tpu.ops.native import coco_match_native
+
+    native = coco_match_native(
+        ious, gt_ignore.astype(np.uint8), np.asarray(iou_thresholds, np.float64)
+    )
+    if native is not None:
+        dt_match, gt_match, dt_ignore = native
+        return {
+            "dtMatches": dt_match,
+            "gtMatches": gt_match,
+            "dtScores": pred_scores,
+            "gtIgnore": np.asarray(gt_ignore).reshape(-1),
+            "dtIgnore": dt_ignore,
+        }
+
     gt_match = np.zeros((t, num_gts))
     dt_match = np.zeros((t, num_preds))
     dt_ignore = np.zeros((t, num_preds))

@@ -239,16 +239,27 @@ def train_step_loss(
 
     flat_labels = labels.reshape(-1)
     flat_logits = box_logits.reshape(-1, c)
-    fg_probs = jnp.max(jax.nn.sigmoid(flat_logits), axis=-1)
+    fg_probs = jnp.max(jax.nn.sigmoid(box_logits), axis=-1)  # [B, A]
 
+    # Hard-negative sampling runs PER IMAGE (the reference's
+    # ``HardNegativeSampler`` variant, ``sampler.py:101-209``) rather than the
+    # batch-global variant: under data-parallel sharding a batch-global top-k
+    # would all-gather every anchor score across the mesh; per-image sampling
+    # is shard-local and keeps the step collective-free up to the gradient
+    # all-reduce.
     sampler = HardNegativeSamplerBatched(
         batch_size_per_image=cfg.batch_size_per_image,
         positive_fraction=cfg.positive_fraction,
         min_neg=cfg.min_neg,
         pool_size=cfg.pool_size,
-        batch_size=b,
+        batch_size=1,
     )
-    pos_mask, neg_mask = sampler(key, flat_labels, jax.lax.stop_gradient(fg_probs))
+    keys = jax.random.split(key, b)
+    pos_mask, neg_mask = jax.vmap(sampler)(
+        keys, labels, jax.lax.stop_gradient(fg_probs)
+    )
+    pos_mask = pos_mask.reshape(-1)
+    neg_mask = neg_mask.reshape(-1)
     sample_mask = pos_mask | neg_mask
 
     cls_loss = L.bce_one_hot(

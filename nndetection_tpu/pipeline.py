@@ -1,0 +1,410 @@
+"""End-to-end pipeline orchestration: prep -> train -> sweep -> consolidate ->
+predict -> evaluate.
+
+Directory contract identical to the reference (SURVEY.md §1 dataflow):
+``raw_splitted -> raw_cropped -> preprocessed/{plan}/ ->
+{det_models}/Task/Model/foldX -> consolidated -> test_predictions``.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
+from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
+from nndetection_tpu.data.loader import PatchLoader, build_case_records
+from nndetection_tpu.data.preprocess import (
+    analyze_dataset,
+    process_case,
+    run_cropping,
+    unpack_dataset,
+)
+from nndetection_tpu.evaluator.registry import evaluate_box_dir
+from nndetection_tpu.inference.loading import load_all_models, load_model_bundle
+from nndetection_tpu.inference.predictor import ModelBundle, Predictor
+from nndetection_tpu.inference.sweeper import BoxSweeper
+from nndetection_tpu.planning.planner import Plan, Planner
+from nndetection_tpu.train.trainer import Trainer, TrainerConfig
+from nndetection_tpu.utils.io import (
+    load_pickle,
+    save_json,
+    save_pickle,
+)
+
+NUM_FOLDS = 5
+SPLIT_SEED = 12345
+
+
+# ---------------------------------------------------------------------------
+# prep
+# ---------------------------------------------------------------------------
+def run_prep(
+    task_dir,
+    num_workers: int = 0,
+    planner: Optional[Planner] = None,
+) -> Plan:
+    """crop -> analyze -> plan -> process (``scripts/preprocess.py:46-413``)."""
+    task_dir = Path(task_dir)
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    splitted = task_dir / "raw_splitted"
+    cropped_dir = task_dir / "raw_cropped"
+    prep_dir = task_dir / "preprocessed"
+
+    cases = discover_cases(
+        splitted / "imagesTr", splitted / "labelsTr", info.num_modalities
+    )
+    if not cases:
+        raise FileNotFoundError(f"no training cases in {splitted / 'imagesTr'}")
+    run_cropping(cases, cropped_dir, num_workers=num_workers)
+
+    case_ids = [c.case_id for c in cases]
+    props = analyze_dataset(
+        cropped_dir, case_ids, info.num_modalities, num_workers=num_workers
+    )
+    (prep_dir / "properties").mkdir(parents=True, exist_ok=True)
+    save_pickle(props, prep_dir / "properties" / "dataset_properties.pkl")
+
+    planner = planner or Planner()
+    plan = planner.plan_experiment(props, info)
+    save_pickle(plan, prep_dir / f"{plan.plan_id}.pkl")
+
+    plan_dir = prep_dir / plan.plan_id
+    out_images = plan_dir / "imagesTr"
+    out_labels = plan_dir / "labelsTr"
+    for cid in case_ids:
+        process_case(
+            cropped_dir,
+            out_images,
+            out_labels,
+            cid,
+            target_spacing=np.asarray(plan.target_spacing),
+            transpose_forward=plan.transpose_forward,
+            normalization_schemes=plan.normalization_schemes,
+            intensity_properties=plan.intensity_properties,
+            use_nonzero_mask=plan.use_nonzero_mask,
+        )
+    unpack_dataset(out_images)
+
+    make_splits(case_ids, prep_dir / "splits_final.pkl")
+    return plan
+
+
+def make_splits(case_ids: Sequence[str], path, num_folds: int = NUM_FOLDS) -> List[Dict]:
+    """Deterministic K-fold split (``splits_final.pkl`` contract)."""
+    path = Path(path)
+    if path.exists():
+        return load_pickle(path)
+    rng = np.random.RandomState(SPLIT_SEED)
+    ids = np.asarray(sorted(case_ids))
+    perm = rng.permutation(len(ids))
+    folds = np.array_split(perm, num_folds)
+    splits = []
+    for k in range(num_folds):
+        val = set(folds[k].tolist())
+        splits.append(
+            {
+                "train": [str(ids[i]) for i in range(len(ids)) if i not in val],
+                "val": [str(ids[i]) for i in sorted(val)],
+            }
+        )
+    save_pickle(splits, path)
+    return splits
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+def build_loaders(
+    plan: Plan,
+    image_dir,
+    splits: List[Dict],
+    fold: int,
+    batch_size: int,
+    oversample: float = 0.5,
+    augment: bool = True,
+    seed: int = 0,
+):
+    records = build_case_records(image_dir)
+    by_id = {r.case_id: r for r in records}
+    if fold == -1:
+        train_ids = sorted(by_id)
+        val_ids = sorted(by_id)
+    else:
+        train_ids = [c for c in splits[fold]["train"] if c in by_id]
+        val_ids = [c for c in splits[fold]["val"] if c in by_id]
+    gen_patch = (
+        get_generator_patch_size(plan.patch_size) if augment else tuple(plan.patch_size)
+    )
+    train_loader = PatchLoader(
+        [by_id[c] for c in train_ids],
+        patch_size=gen_patch,
+        batch_size=batch_size,
+        oversample_foreground_percent=oversample,
+        max_instances=plan.max_instances_per_patch,
+        seed=seed,
+    )
+    val_loader = PatchLoader(
+        [by_id[c] for c in val_ids] or [by_id[c] for c in train_ids],
+        patch_size=tuple(plan.patch_size),
+        batch_size=batch_size,
+        oversample_foreground_percent=oversample,
+        max_instances=plan.max_instances_per_patch,
+        seed=seed + 1,
+    )
+    return train_loader, val_loader
+
+
+def run_train(
+    task_dir,
+    model_dir,
+    fold: int = 0,
+    trainer_overrides: Optional[Dict[str, Any]] = None,
+    model_overrides: Optional[Dict[str, Any]] = None,
+    plan_id: str = "D3V001_3d",
+    augment: bool = True,
+    log_fn=None,
+) -> Path:
+    """Train one fold; writes ``model_last.ckpt``/``model_best.ckpt`` + plan
+    (``scripts/train.py:166-327``)."""
+    from nndetection_tpu.evaluator.det import BoxEvaluator
+
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    prep_dir = task_dir / "preprocessed"
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    splits = make_splits(
+        [p.stem for p in (prep_dir / plan.plan_id / "imagesTr").glob("*.npz")],
+        prep_dir / "splits_final.pkl",
+    )
+
+    tkw = dict(trainer_overrides or {})
+    batch_size = tkw.pop("batch_size", None) or plan.batch_size
+    tcfg = TrainerConfig(batch_size=batch_size, **tkw)
+    model_cfg = plan.model_config(**(model_overrides or {}))
+
+    out_dir = model_dir / f"fold{fold}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_pickle(plan, out_dir / "plan.pkl")
+
+    aug_cfg = AugmentConfig(patch_size=tuple(plan.patch_size)) if augment else (
+        AugmentConfig(
+            patch_size=tuple(plan.patch_size),
+            p_rotation=0.0, p_scale=0.0, p_noise=0.0, p_blur=0.0,
+            p_brightness=0.0, p_contrast=0.0, p_lowres=0.0, p_gamma=0.0,
+            mirror_axes=(),
+        )
+    )
+    trainer = Trainer(model_cfg, tcfg, output_dir=out_dir, augment_cfg=aug_cfg)
+    train_loader, val_loader = build_loaders(
+        plan,
+        prep_dir / plan.plan_id / "imagesTr",
+        splits,
+        fold,
+        batch_size,
+        augment=augment,
+        seed=tcfg.seed + fold,
+    )
+    classes = [str(info.labels[k]) for k in sorted(info.labels)]
+    trainer.fit(
+        train_iter_fn=lambda e: train_loader.epoch(tcfg.num_train_batches_per_epoch),
+        val_iter_fn=lambda e: val_loader.epoch(tcfg.num_val_batches_per_epoch),
+        evaluator_fn=lambda: BoxEvaluator.create(classes, fast=True),
+        log_fn=log_fn,
+    )
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# predict / sweep / consolidate / evaluate
+# ---------------------------------------------------------------------------
+def predict_dir(
+    bundles: Sequence[ModelBundle],
+    image_dir,
+    output_dir,
+    case_ids: Optional[Sequence[str]] = None,
+    tta: bool = True,
+    save_state: bool = False,
+    restore: bool = False,
+    ensembler_parameters: Optional[Dict[str, Any]] = None,
+    batch_size: int = 4,
+) -> None:
+    """Predict all preprocessed cases in a directory
+    (``/root/reference/nndet/inference/helper.py:30-111``)."""
+    image_dir, output_dir = Path(image_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    predictor = Predictor(
+        bundles,
+        batch_size=batch_size,
+        tta=tta,
+        ensembler_parameters=ensembler_parameters,
+    )
+    if case_ids is None:
+        case_ids = sorted(
+            p.stem for p in image_dir.glob("*.npz") if not p.stem.endswith("_boxes")
+        )
+    for cid in case_ids:
+        arr = np.load(image_dir / f"{cid}.npy", mmap_mode="r") if (
+            image_dir / f"{cid}.npy"
+        ).exists() else np.load(image_dir / f"{cid}.npz")["data"]
+        data = np.asarray(arr[:-1], np.float32)
+        props = load_pickle(image_dir / f"{cid}.pkl") if (
+            image_dir / f"{cid}.pkl"
+        ).exists() else {}
+        t0 = time.time()
+        result = predictor.predict_case(data, props, restore=restore)
+        ens = result.pop("ensembler")
+        if save_state:
+            ens.save_state(output_dir, cid)
+        save_pickle(
+            {
+                "pred_boxes": result["pred_boxes"],
+                "pred_scores": result["pred_scores"],
+                "pred_labels": result["pred_labels"],
+                "prediction_time_s": time.time() - t0,
+            },
+            output_dir / f"{cid}_boxes.pkl",
+        )
+
+
+def run_sweep(
+    task_dir, model_dir, fold: int, plan_id: str = "D3V001_3d", tta: bool = True
+) -> Dict[str, Any]:
+    """Predict the fold's val split (with state saving) and sweep
+    postprocessing parameters (``scripts/train.py:330-402``)."""
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    prep_dir = task_dir / "preprocessed"
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    fold_dir = model_dir / f"fold{fold}"
+    bundle = load_model_bundle(fold_dir / "model_last.ckpt", name=f"fold{fold}")
+    splits = make_splits([], prep_dir / "splits_final.pkl")
+    val_ids = splits[fold]["val"]
+
+    sweep_dir = fold_dir / "sweep"
+    predict_dir(
+        [bundle],
+        prep_dir / plan.plan_id / "imagesTr",
+        sweep_dir,
+        case_ids=val_ids,
+        tta=tta,
+        save_state=True,
+        batch_size=plan.batch_size,
+    )
+    classes = [str(info.labels[k]) for k in sorted(info.labels)]
+    sweeper = BoxSweeper(
+        classes,
+        state_dir=sweep_dir,
+        gt_dir=prep_dir / plan.plan_id / "labelsTr",
+        save_dir=fold_dir,
+    )
+    return sweeper.run_postprocessing_sweep()
+
+
+def run_consolidate(
+    task_dir, model_dir, num_folds: int = NUM_FOLDS, plan_id: str = "D3V001_3d"
+) -> Path:
+    """Copy fold checkpoints + unified sweep into ``consolidated/``
+    (``scripts/consolidate.py:36-227``)."""
+    import shutil
+
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    out = model_dir / "consolidated"
+    out.mkdir(parents=True, exist_ok=True)
+    state_dir = out / "sweep_states"
+    state_dir.mkdir(exist_ok=True)
+    for fold in range(num_folds):
+        fold_dir = model_dir / f"fold{fold}"
+        ckpt = fold_dir / "model_last.ckpt"
+        if ckpt.exists():
+            shutil.copy(ckpt, out / f"model_fold{fold}.ckpt")
+        for st in (fold_dir / "sweep").glob("*_boxes_state.pkl"):
+            shutil.copy(st, state_dir / st.name)
+        if (fold_dir / "plan.pkl").exists():
+            shutil.copy(fold_dir / "plan.pkl", out / "plan.pkl")
+
+    prep_dir = task_dir / "preprocessed"
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    classes = [str(info.labels[k]) for k in sorted(info.labels)]
+    if any(state_dir.glob("*_boxes_state.pkl")):
+        sweeper = BoxSweeper(
+            classes,
+            state_dir=state_dir,
+            gt_dir=prep_dir / plan.plan_id / "labelsTr",
+            save_dir=out,
+        )
+        sweeper.run_postprocessing_sweep()
+    return out
+
+
+def run_predict_test(
+    task_dir,
+    model_dir,
+    plan_id: str = "D3V001_3d",
+    tta: bool = True,
+    num_folds: int = NUM_FOLDS,
+) -> Path:
+    """Preprocess + predict the test split with all consolidated folds
+    (``scripts/predict.py:36-242``)."""
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    prep_dir = task_dir / "preprocessed"
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+
+    # preprocess test cases
+    test_cases = discover_cases(
+        task_dir / "raw_splitted" / "imagesTs",
+        task_dir / "raw_splitted" / "labelsTs"
+        if (task_dir / "raw_splitted" / "labelsTs").is_dir()
+        else None,
+        info.num_modalities,
+    )
+    cropped = task_dir / "raw_cropped_test"
+    run_cropping(test_cases, cropped)
+    test_images = prep_dir / plan.plan_id / "imagesTs"
+    test_labels = prep_dir / plan.plan_id / "labelsTs"
+    for c in test_cases:
+        process_case(
+            cropped,
+            test_images,
+            test_labels,
+            c.case_id,
+            target_spacing=np.asarray(plan.target_spacing),
+            transpose_forward=plan.transpose_forward,
+            normalization_schemes=plan.normalization_schemes,
+            intensity_properties=plan.intensity_properties,
+            use_nonzero_mask=plan.use_nonzero_mask,
+        )
+    unpack_dataset(test_images)
+
+    bundles = load_all_models(model_dir, num_folds=num_folds)
+    params = None
+    plan_inf = model_dir / "consolidated" / "plan_inference.pkl"
+    if plan_inf.exists():
+        params = load_pickle(plan_inf)["parameters"]
+    out = model_dir / "test_predictions"
+    predict_dir(
+        bundles,
+        test_images,
+        out,
+        tta=tta,
+        restore=False,
+        ensembler_parameters=params,
+        batch_size=plan.batch_size,
+    )
+    return out
+
+
+def run_evaluate(
+    task_dir, pred_dir, plan_id: str = "D3V001_3d", split: str = "Ts", save_dir=None
+):
+    task_dir = Path(task_dir)
+    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
+    classes = [str(info.labels[k]) for k in sorted(info.labels)]
+    gt_dir = task_dir / "preprocessed" / plan_id / f"labels{split}"
+    return evaluate_box_dir(
+        pred_dir, gt_dir, classes, save_dir=save_dir or pred_dir, fast=False
+    )

@@ -21,6 +21,8 @@ import numpy as np
 import optax
 from flax import traverse_util
 
+from nndetection_tpu.data.augment import AugmentConfig, augment_batch, center_crop_batch
+from nndetection_tpu.data.gt_prep import prepare_targets
 from nndetection_tpu.models.retina_unet import (
     RetinaUNet,
     RetinaUNetConfig,
@@ -106,10 +108,30 @@ class Trainer:
         trainer_cfg: TrainerConfig,
         mesh=None,
         output_dir: Optional[Path] = None,
+        augment_cfg: Optional[AugmentConfig] = None,
     ):
+        """``augment_cfg`` switches the step to *raw-batch mode*: batches carry
+        ``images`` (generator-patch sized), ``seg_instances`` and
+        ``instance_classes``; augmentation + GT prep run fused inside the
+        jitted step (the on-device data path of SURVEY.md §7.1.3)."""
         self.cfg = model_cfg
         self.tcfg = trainer_cfg
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.augment_cfg = augment_cfg
+        if mesh is None:
+            # data-parallel degree must divide the global batch size
+            import math
+            import os
+
+            n_dev = len(jax.devices())
+            if jax.devices()[0].platform == "cpu":
+                # virtual host devices time-slice physical cores; XLA's
+                # in-process collectives abort when partitions starve, so cap
+                # the DP degree at the real core count (explicit meshes are
+                # never overridden)
+                n_dev = min(n_dev, max(1, os.cpu_count() or 1))
+            n_data = math.gcd(trainer_cfg.batch_size, n_dev)
+            mesh = make_mesh(n_data=n_data)
+        self.mesh = mesh
         self.model = RetinaUNet(model_cfg)
         self.tx, self.schedule = make_optimizer(trainer_cfg)
         self.output_dir = Path(output_dir) if output_dir else None
@@ -135,20 +157,48 @@ class Trainer:
             params=params,
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
-            swa_params=params,
+            # must NOT alias `params`: the donated train-step state would
+            # otherwise donate the same buffers twice
+            swa_params=jax.tree_util.tree_map(jnp.copy, params),
             swa_count=jnp.zeros((), jnp.int32),
         )
         rep = replicate_sharding(self.mesh)
         return jax.device_put(state, rep)
 
     # ------------------------------------------------------------------
+    def _prepare(self, batch, key, train: bool):
+        """Raw-batch device pipeline: (augment | center-crop) -> GT prep."""
+        if self.augment_cfg is None or "gt_boxes" in batch:
+            return batch
+        if train:
+            data, seg = augment_batch(
+                key, batch["images"], batch["seg_instances"], self.augment_cfg
+            )
+        else:
+            data, seg = batch["images"], batch["seg_instances"]
+            if seg.shape[1:] != tuple(self.cfg.patch_size):
+                data, seg = center_crop_batch(data, seg, self.cfg.patch_size)
+        return prepare_targets(data, seg, batch["instance_classes"])
+
     def _build_train_step(self):
+        """The SPMD train step runs entirely inside ``shard_map`` over the
+        ``data`` axis: every op (augmentation, matching, per-image top-k
+        sampling, losses) sees shard-local shapes, and cross-shard
+        communication is exactly one explicit gradient/metric ``pmean`` — no
+        partitioner-inserted all-gathers (XLA's CPU TopK custom-call is not
+        partitionable, and on TPU this keeps ICI traffic to the all-reduce)."""
         cfg, model, tx = self.cfg, self.model, self.tx
         anchors, per_level = self.anchors, self.anchors_per_level
         rep = replicate_sharding(self.mesh)
         dsh = batch_sharding(self.mesh)
+        P = jax.sharding.PartitionSpec
 
-        def step_fn(state: TrainState, batch, key):
+        def shard_body(state: TrainState, raw_batch, key):
+            # decorrelate per-shard randomness
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            k_aug, key = jax.random.split(key)
+            batch = self._prepare(raw_batch, k_aug, train=True)
+
             def loss_fn(params):
                 preds = model.apply(params, batch["images"])
                 losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
@@ -160,13 +210,24 @@ class Trainer:
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            grads = jax.lax.pmean(grads, "data")
+            losses = jax.lax.pmean(dict(losses, total=total), "data")
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state._replace(
                 params=params, opt_state=opt_state, step=state.step + 1
             )
-            losses = dict(losses, total=total)
             return new_state, losses
+
+        def step_fn(state, raw_batch, key):
+            batch_specs = jax.tree_util.tree_map(lambda _: P("data"), raw_batch)
+            return jax.shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=(P(), batch_specs, P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, raw_batch, key)
 
         return jax.jit(
             step_fn,
@@ -180,12 +241,27 @@ class Trainer:
         anchors, per_level = self.anchors, self.anchors_per_level
         rep = replicate_sharding(self.mesh)
         dsh = batch_sharding(self.mesh)
+        P = jax.sharding.PartitionSpec
 
-        def step_fn(params, batch, key):
+        def shard_body(params, raw_batch, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            k_aug, key = jax.random.split(key)
+            batch = self._prepare(raw_batch, k_aug, train=False)
             preds = model.apply(params, batch["images"])
             losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
+            losses = jax.lax.pmean(losses, "data")
             dets = batched_postprocess(cfg, preds, anchors, cfg.patch_size)
-            return losses, dets
+            return losses, dets, batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"]
+
+        def step_fn(params, raw_batch, key):
+            batch_specs = jax.tree_util.tree_map(lambda _: P("data"), raw_batch)
+            return jax.shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=(P(), batch_specs, P()),
+                out_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+                check_vma=False,
+            )(params, raw_batch, key)
 
         return jax.jit(step_fn, in_shardings=(rep, dsh, rep))
 
@@ -222,7 +298,9 @@ class Trainer:
         for batch in batches:
             key, sub = jax.random.split(key)
             db = shard_batch(self.mesh, batch)
-            losses, dets = self._val_step(state.params, db, sub)
+            losses, dets, gt_boxes, gt_classes, gt_mask = self._val_step(
+                state.params, db, sub
+            )
             for k, v in losses.items():
                 metrics.setdefault(k, []).append(float(v))
             if evaluator is not None:
@@ -231,9 +309,9 @@ class Trainer:
                     pred_scores=np.asarray(dets["scores"]),
                     pred_labels=np.asarray(dets["labels"]),
                     pred_valid=np.asarray(dets["valid"]),
-                    gt_boxes=np.asarray(batch["gt_boxes"]),
-                    gt_classes=np.asarray(batch["gt_classes"]),
-                    gt_mask=np.asarray(batch["gt_mask"]),
+                    gt_boxes=np.asarray(gt_boxes),
+                    gt_classes=np.asarray(gt_classes),
+                    gt_mask=np.asarray(gt_mask),
                 )
         out = {f"val_{k}": float(np.mean(v)) for k, v in metrics.items()}
         if evaluator is not None:
