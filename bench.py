@@ -28,15 +28,18 @@ A100_BASELINE_PATCHES_PER_S = 8.0
 def luna_cfg(patch, dtype="bfloat16"):
     from nndetection_tpu.models import RetinaUNetConfig
 
-    # LUNA16-like plan: 5 stages, isotropic pooling, 27 anchors/pos
+    # LUNA16-like plan: 6 resolution stages, isotropic pooling, detection
+    # heads on strides 4..32 (decoder levels 2-5, the reference's rule for
+    # 6-level nets), 27 anchors/position scaled per level
+    anchors = [tuple(v * 2 ** l for v in (4.0, 6.0, 10.0)) for l in range(4)]
     return RetinaUNetConfig(
-        conv_kernels=((3, 3, 3),) * 5,
-        strides=((2, 2, 2),) * 4,
-        decoder_levels=(1, 2, 3, 4),
+        conv_kernels=((3, 3, 3),) * 6,
+        strides=((2, 2, 2),) * 5,
+        decoder_levels=(2, 3, 4, 5),
         patch_size=tuple(patch),
-        anchor_width=((4.0, 6.0, 10.0),) * 4,
-        anchor_height=((4.0, 6.0, 10.0),) * 4,
-        anchor_depth=((4.0, 6.0, 10.0),) * 4,
+        anchor_width=tuple(anchors),
+        anchor_height=tuple(anchors),
+        anchor_depth=tuple(anchors),
         start_channels=32,
         max_channels=320,
         fpn_channels=128,

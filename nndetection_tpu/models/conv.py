@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,17 +40,26 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.var(x32, axis=axes, keepdims=True)
-        y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        # statistics accumulate in float32 WITHOUT materializing an f32 copy
+        # of the activation (a full-resolution f32 cast of stage-0 maps costs
+        # GBs of HBM once residuals are kept for backward)
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(
+            jax.lax.square(x), axis=axes, keepdims=True, dtype=jnp.float32
+        )
+        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        scale = inv
         if self.use_scale:
-            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-            y = y * scale
+            gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            scale = inv * gamma
+        shift = -mean * scale
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            y = y + bias
-        return y.astype(self.dtype)
+            beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            shift = shift + beta
+        return (x * scale.astype(self.dtype) + shift.astype(self.dtype)).astype(
+            self.dtype
+        )
 
 
 class GroupNorm(nn.Module):

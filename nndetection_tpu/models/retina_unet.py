@@ -78,6 +78,9 @@ class RetinaUNetConfig:
     remove_small_boxes: float = 0.01
     nms_thresh: float = 0.6
     dtype: str = "bfloat16"
+    # rematerialize encoder/decoder/head activations in backward (trade ~1
+    # extra forward for the dominant activation HBM; jax.checkpoint)
+    remat: bool = True
 
     @property
     def compute_dtype(self):
@@ -130,7 +133,11 @@ class RetinaUNet(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         x = images.astype(dtype)
-        fmaps = Encoder(
+        EncoderCls = nn.remat(Encoder) if cfg.remat else Encoder
+        UFPNCls = nn.remat(UFPN) if cfg.remat else UFPN
+        ClassifierCls = nn.remat(Classifier) if cfg.remat else Classifier
+        RegressorCls = nn.remat(Regressor) if cfg.remat else Regressor
+        fmaps = EncoderCls(
             conv_kernels=cfg.conv_kernels,
             strides=cfg.strides,
             start_channels=cfg.start_channels,
@@ -140,7 +147,7 @@ class RetinaUNet(nn.Module):
             name="encoder",
         )(x)
         all_strides = encoder_strides(cfg.num_levels, cfg.strides, cfg.dim)
-        decoded = UFPN(
+        decoded = UFPNCls(
             strides=tuple(tuple(s) for s in all_strides),
             conv_kernels=cfg.conv_kernels,
             decoder_levels=cfg.decoder_levels,
@@ -151,7 +158,7 @@ class RetinaUNet(nn.Module):
         )(fmaps)
         head_maps = [decoded[l] for l in cfg.decoder_levels]
 
-        box_logits = Classifier(
+        box_logits = ClassifierCls(
             num_classes=cfg.classifier_classes,
             anchors_per_pos=cfg.anchors_per_loc(),
             internal_channels=cfg.head_channels,
@@ -161,7 +168,7 @@ class RetinaUNet(nn.Module):
             dtype=dtype,
             name="classifier",
         )(head_maps)
-        box_deltas = Regressor(
+        box_deltas = RegressorCls(
             anchors_per_pos=cfg.anchors_per_loc(),
             internal_channels=cfg.head_channels,
             num_convs=cfg.head_num_convs,

@@ -1,0 +1,129 @@
+import jax
+import numpy as np
+import pytest
+
+from nndetection_tpu.data.augment import AugmentConfig
+from nndetection_tpu.models import RetinaUNetConfig
+from nndetection_tpu.parallel.mesh import make_mesh, shard_batch
+from nndetection_tpu.train.lr import linear_warmup_poly_lr, swa_schedule
+from nndetection_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def micro_cfg():
+    return RetinaUNetConfig(
+        conv_kernels=((3, 3, 3),) * 3,
+        strides=((2, 2, 2),) * 2,
+        decoder_levels=(1, 2),
+        patch_size=(16, 16, 16),
+        anchor_width=((6.0,),) * 2,
+        anchor_height=((6.0,),) * 2,
+        anchor_depth=((6.0,),) * 2,
+        start_channels=4,
+        max_channels=8,
+        fpn_channels=8,
+        head_channels=8,
+        topk_candidates=64,
+        detections_per_img=8,
+        dtype="float32",
+    )
+
+
+def raw_batch(b=2, patch=(16, 16, 16)):
+    rng = np.random.RandomState(0)
+    seg = np.zeros((b, *patch), np.int32)
+    seg[:, 4:10, 4:10, 4:10] = 1
+    table = np.full((b, 4), -1, np.int32)
+    table[:, 0] = 0
+    return {
+        "images": rng.standard_normal((b, *patch, 1)).astype(np.float32),
+        "seg_instances": seg,
+        "instance_classes": table,
+    }
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    cfg = micro_cfg()
+    tcfg = TrainerConfig(batch_size=2, warm_iterations=2, swa_epochs=1, max_epochs=1)
+    mesh = make_mesh(n_data=1)
+    return Trainer(
+        cfg, tcfg, mesh=mesh, augment_cfg=AugmentConfig(patch_size=cfg.patch_size)
+    )
+
+
+class TestLRSchedules:
+    def test_warmup_then_poly(self):
+        s = linear_warmup_poly_lr(0.01, 10, 1e-6, 0.9, 110)
+        assert float(s(0)) < float(s(5)) < float(s(9))
+        assert float(s(10)) == pytest.approx(0.01, rel=1e-3)
+        assert float(s(60)) < float(s(10))
+        assert float(s(109)) < float(s(60))
+
+    def test_swa_cycles(self):
+        s = swa_schedule(0.01, 2, 1e-6, 0.9, 10, 5)
+        # swa phase: cycles between lr/10 and lr/1000
+        v0 = float(s(10))
+        v4 = float(s(14))
+        v5 = float(s(15))
+        assert v0 == pytest.approx(0.001, rel=1e-3)
+        assert v4 < v0
+        assert v5 == pytest.approx(v0, rel=1e-3)  # cycle restarts
+
+
+class TestTrainerLoop:
+    def test_loss_decreases_on_fixed_batch(self, trainer):
+        state = trainer.init_state()
+        batch = shard_batch(trainer.mesh, raw_batch())
+        key = jax.random.PRNGKey(0)
+        losses_first = losses_last = None
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            state, losses = trainer._train_step(state, batch, sub)
+            if i == 0:
+                losses_first = float(losses["total"])
+            losses_last = float(losses["total"])
+        assert np.isfinite(losses_last)
+        assert losses_last < losses_first
+
+    def test_val_step_outputs(self, trainer):
+        state = trainer.init_state()
+        batch = shard_batch(trainer.mesh, raw_batch())
+        losses, dets, gtb, gtc, gtm = trainer._val_step(
+            state.params, batch, jax.random.PRNGKey(0)
+        )
+        assert dets["boxes"].shape == (2, 8, 6)
+        assert gtb.shape[0] == 2
+
+    def test_swa_average(self, trainer):
+        state = trainer.init_state()
+        s1 = trainer.update_swa(state)
+        assert int(s1.swa_count) == 1
+        # after one update swa == params
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        sleaf = jax.tree_util.tree_leaves(s1.swa_params)[0]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(sleaf), rtol=1e-6)
+
+    def test_checkpoint_roundtrip(self, trainer, tmp_path):
+        state = trainer.init_state()
+        batch = shard_batch(trainer.mesh, raw_batch())
+        state, _ = trainer._train_step(state, batch, jax.random.PRNGKey(0))
+        trainer.save_checkpoint(state, tmp_path / "ckpt.pkl", extra={"epoch": 3})
+        back = trainer.load_checkpoint(tmp_path / "ckpt.pkl")
+        assert int(back.step) == int(state.step)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(back.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_multidevice_step(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        cfg = micro_cfg()
+        tcfg = TrainerConfig(batch_size=2, warm_iterations=2)
+        mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+        tr = Trainer(
+            cfg, tcfg, mesh=mesh, augment_cfg=AugmentConfig(patch_size=cfg.patch_size)
+        )
+        state = tr.init_state()
+        batch = shard_batch(mesh, raw_batch())
+        state, losses = tr._train_step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["total"]))
