@@ -17,10 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache (must be set before jax initializes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 A100_BASELINE_PATCHES_PER_S = 8.0
 
@@ -115,7 +120,7 @@ def main():
     candidates = (
         [tuple(args.patch)]
         if args.patch
-        else [(96, 160, 160), (96, 128, 128), (64, 96, 96), (32, 64, 64)]
+        else [(96, 128, 128), (64, 128, 128), (64, 96, 96), (32, 64, 64)]
     )
     value = None
     last_err = None
