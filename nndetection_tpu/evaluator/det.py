@@ -49,6 +49,8 @@ class BoxEvaluator:
                 )
             ]
         else:
+            from nndetection_tpu.evaluator.hist import PredictionHistogram
+
             metrics = [
                 COCOMetric(
                     classes,
@@ -58,6 +60,7 @@ class BoxEvaluator:
                     per_class=True if per_class is None else per_class,
                 ),
                 FROCMetric(classes, per_class=len(classes) > 1),
+                PredictionHistogram(classes),
             ]
         return cls(classes, metrics, max_detections)
 

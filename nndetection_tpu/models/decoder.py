@@ -140,3 +140,71 @@ class UFPN(nn.Module):
                 )(x)
             final.append(x)
         return final
+
+
+class PAUFPN(UFPN):
+    """U-FPN with an additional bottom-up path-aggregation pass
+    (``/root/reference/nndet/arch/decoder/base.py:420-578``): after the
+    top-down pathway, features are re-propagated high-res -> low-res with
+    strided convs and elementwise addition."""
+
+    @nn.compact
+    def __call__(self, fmaps: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        num_levels = len(fmaps)
+        out_channels = ufpn_out_channels(
+            num_levels, self.decoder_levels, self.fixed_out_channels, self.min_out_channels
+        )
+        ratios = _stride_ratios(self.strides, self.dim)
+
+        lat = []
+        for level, fm in enumerate(fmaps):
+            x = fm
+            for i in range(self.num_lateral):
+                x = self._conv(
+                    out_channels[level], 1, self.norm_lateral, self.activation_lateral,
+                    name=f"lateral_P{level}_{i}",
+                )(x)
+            lat.append(x)
+
+        # top-down
+        td: List[Optional[jnp.ndarray]] = [None] * num_levels
+        up = None
+        for level in reversed(range(num_levels)):
+            x = lat[level]
+            if up is not None:
+                x = x + up
+                for i in range(self.num_fusion):
+                    x = self._conv(
+                        out_channels[level], self.conv_kernels[level],
+                        self.norm_fusion, self.activation_fusion,
+                        name=f"fusion_P{level}_{i}",
+                    )(x)
+            if level > 0:
+                ratio = ratios[level - 1]
+                up = self._conv(
+                    out_channels[level - 1], ratio, False, False,
+                    name=f"up_P{level}", transposed=True, stride=ratio,
+                )(x)
+            td[level] = x
+
+        # bottom-up path aggregation
+        outs: List[Optional[jnp.ndarray]] = [None] * num_levels
+        down = None
+        for level in range(num_levels):
+            x = td[level]
+            if down is not None:
+                x = x + down
+                for i in range(max(self.num_fusion, 1)):
+                    x = self._conv(
+                        out_channels[level], self.conv_kernels[level],
+                        self.norm_fusion, self.activation_fusion,
+                        name=f"pa_fusion_P{level}_{i}",
+                    )(x)
+            if level < num_levels - 1:
+                ratio = ratios[level]
+                down = self._conv(
+                    out_channels[level + 1], self.conv_kernels[level], False, False,
+                    name=f"down_P{level}", stride=ratio,
+                )(x)
+            outs[level] = x
+        return outs
