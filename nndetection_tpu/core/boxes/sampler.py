@@ -57,12 +57,19 @@ class HardNegativeSamplerBatched:
         min_neg: int = 1,
         pool_size: float = 20.0,
         batch_size: int = 1,
+        approx_topk: bool = True,
     ):
+        """``approx_topk`` uses ``jax.lax.approx_max_k`` (the TPU-optimized
+        partial-reduction top-k, recall ~0.95) for the hard-negative pool —
+        the pool is a stochastic candidate set, so approximate membership at
+        the boundary does not change the sampling semantics meaningfully,
+        while exact ``top_k`` costs a large sort over every anchor."""
         self.batch_size_per_image = batch_size_per_image
         self.positive_fraction = positive_fraction
         self.min_neg = min_neg
         self.pool_size = pool_size
         self.batch_size = batch_size
+        self.approx_topk = approx_topk
         total = batch_size_per_image * batch_size
         self.pos_cap = max(1, int(total * positive_fraction))
         neg_per_pos = abs(1.0 - 1.0 / positive_fraction)
@@ -106,7 +113,10 @@ class HardNegativeSamplerBatched:
             num_neg_avail, (num_neg * self.pool_size).astype(jnp.int32)
         )
         neg_scores = jnp.where(negative, fg_probs, -jnp.inf)
-        pool_vals, pool_idx = jax.lax.top_k(neg_scores, self.pool_cap)
+        if self.approx_topk and neg_scores.shape[0] > 4 * self.pool_cap:
+            pool_vals, pool_idx = jax.lax.approx_max_k(neg_scores, self.pool_cap)
+        else:
+            pool_vals, pool_idx = jax.lax.top_k(neg_scores, self.pool_cap)
         pool_valid = (jnp.arange(self.pool_cap) < pool_size) & jnp.isfinite(pool_vals)
 
         # uniform choice of num_neg from the pool

@@ -61,8 +61,16 @@ class RetinaUNetConfig:
     learn_scale: bool = True
     prior_prob: float = 0.01
     # matcher / sampler (v001 defaults)
+    matcher_type: str = "atss"  # "atss" | "iou"
     matcher_num_candidates: int = 4
     matcher_center_in_gt: bool = False
+    matcher_low_threshold: float = 0.3
+    matcher_high_threshold: float = 0.5
+    # loss family ("bce"|"focal" classification, "giou"|"l1" regression)
+    cls_loss_type: str = "bce"
+    reg_loss_type: str = "giou"
+    focal_gamma: float = 2.0
+    focal_alpha: float = -1.0
     batch_size_per_image: int = 32
     positive_fraction: float = 0.33
     pool_size: float = 20.0
@@ -202,10 +210,18 @@ def assign_targets(
 
     labels: ``[B, A]`` (0 bg, -1 ignore, 1..C fg); boxes ``[B, A, 2*dim]``.
     """
-    matcher = ATSSMatcher(
-        num_candidates=cfg.matcher_num_candidates,
-        center_in_gt=cfg.matcher_center_in_gt,
-    )
+    if cfg.matcher_type == "atss":
+        matcher = ATSSMatcher(
+            num_candidates=cfg.matcher_num_candidates,
+            center_in_gt=cfg.matcher_center_in_gt,
+        )
+    else:
+        from nndetection_tpu.core.boxes.matcher import IoUMatcher
+
+        matcher = IoUMatcher(
+            low_threshold=cfg.matcher_low_threshold,
+            high_threshold=cfg.matcher_high_threshold,
+        )
 
     def one(gtb, gtc, gtm):
         match = matcher(gtb, gtm, anchors, tuple(anchors_per_level), cfg.anchors_per_loc())
@@ -269,21 +285,41 @@ def train_step_loss(
     neg_mask = neg_mask.reshape(-1)
     sample_mask = pos_mask | neg_mask
 
-    cls_loss = L.bce_one_hot(
-        flat_logits,
-        jnp.clip(flat_labels, min=0),
-        sample_mask,
-        num_classes=c,
-    )
+    if cfg.cls_loss_type == "focal":
+        cls_loss = L.focal_loss(
+            flat_logits,
+            jnp.clip(flat_labels, min=0),
+            sample_mask,
+            num_classes=c,
+            gamma=cfg.focal_gamma,
+            alpha=cfg.focal_alpha,
+        ) / jnp.maximum(jnp.sum(pos_mask.astype(jnp.float32)), 1.0)
+    else:
+        cls_loss = L.bce_one_hot(
+            flat_logits,
+            jnp.clip(flat_labels, min=0),
+            sample_mask,
+            num_classes=c,
+        )
 
     coder = BoxCoder(dim=cfg.dim)
     flat_anchors = jnp.broadcast_to(anchors[None], (b, a, anchors.shape[-1])).reshape(
         -1, anchors.shape[-1]
     )
-    pred_boxes = coder.decode(box_deltas.reshape(-1, anchors.shape[-1]), flat_anchors)
-    reg_loss = L.giou_loss(
-        pred_boxes, matched_boxes.reshape(-1, anchors.shape[-1]), pos_mask
-    )
+    if cfg.reg_loss_type == "l1":
+        target_deltas = coder.encode(
+            matched_boxes.reshape(-1, anchors.shape[-1]), flat_anchors
+        )
+        reg_loss = L.smooth_l1_loss(
+            box_deltas.reshape(-1, anchors.shape[-1]), target_deltas, pos_mask
+        )
+    else:
+        pred_boxes = coder.decode(
+            box_deltas.reshape(-1, anchors.shape[-1]), flat_anchors
+        )
+        reg_loss = L.giou_loss(
+            pred_boxes, matched_boxes.reshape(-1, anchors.shape[-1]), pos_mask
+        )
 
     seg_target = targets["seg"]
     if cfg.segmenter_fg_bg:

@@ -1,0 +1,56 @@
+"""Model-family registry: named module variants mapping a Plan to a
+``RetinaUNetConfig`` (the reference's ``MODULE_REGISTRY`` mechanism,
+``/root/reference/nndet/ptmodule/retinaunet/v001.py:29-38``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from nndetection_tpu.models.retina_unet import RetinaUNetConfig
+from nndetection_tpu.utils.registry import MODULE_REGISTRY
+
+
+class BaseModule:
+    """One entry = the class wiring of a published model variant."""
+
+    config_overrides: Dict[str, Any] = {}
+
+    @classmethod
+    def model_config(cls, plan, **overrides) -> RetinaUNetConfig:
+        merged = dict(cls.config_overrides)
+        merged.update(overrides)
+        return plan.model_config(**merged)
+
+
+@MODULE_REGISTRY.register(name="RetinaUNetV001")
+class RetinaUNetV001(BaseModule):
+    """Published default: ATSS + sigmoid BCE + GIoU + HNM + FgBg segmenter."""
+
+    config_overrides = {
+        "matcher_type": "atss",
+        "cls_loss_type": "bce",
+        "reg_loss_type": "giou",
+        "segmenter_fg_bg": True,
+    }
+
+
+@MODULE_REGISTRY.register(name="RetinaUNetV002")
+class RetinaUNetV002(BaseModule):
+    """Focal-loss variant (no label smoothing), ATSS + GIoU."""
+
+    config_overrides = {
+        "matcher_type": "atss",
+        "cls_loss_type": "focal",
+        "reg_loss_type": "giou",
+    }
+
+
+@MODULE_REGISTRY.register(name="RetinaUNetV010")
+class RetinaUNetV010(BaseModule):
+    """Classic IoU matching + BCE + smooth-L1 (RetinaNet-style baseline)."""
+
+    config_overrides = {
+        "matcher_type": "iou",
+        "cls_loss_type": "bce",
+        "reg_loss_type": "l1",
+    }
