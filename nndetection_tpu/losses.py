@@ -147,6 +147,38 @@ def topk_ce_loss(
     return jnp.mean(vals)
 
 
+def maxpool_downsample_target(target: jnp.ndarray, factor) -> jnp.ndarray:
+    """Project a segmentation target to a coarser level by max pooling
+    (reference ``MaxPoolToShapes``, ``nndet/arch/layers/interpolation.py:77``)."""
+    dims = target.ndim - 1  # [N, *spatial]
+    if isinstance(factor, int):
+        factor = (factor,) * dims
+    window = (1,) + tuple(factor)
+    return jax.lax.reduce_window(
+        target, -(2**30), jax.lax.max, window, window, "VALID"
+    )
+
+
+def deep_supervision_seg_loss(
+    logits_list,
+    target: jnp.ndarray,
+    strides,
+    alpha: float = 0.5,
+    batch_dice: bool = True,
+) -> jnp.ndarray:
+    """Weighted multi-level CE+dice: level weights halve per level and are
+    normalized (nnU-Net deep-supervision convention)."""
+    weights = jnp.asarray([0.5**i for i in range(len(logits_list))])
+    weights = weights / jnp.sum(weights)
+    total = 0.0
+    for i, logits in enumerate(logits_list):
+        tgt = target if i == 0 else maxpool_downsample_target(target, strides[i])
+        ce = softmax_ce_loss(logits, tgt)
+        dice = soft_dice_loss(logits, tgt, batch_dice=batch_dice, do_bg=False)
+        total = total + weights[i] * (alpha * ce + (1 - alpha) * dice)
+    return total
+
+
 def soft_dice_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

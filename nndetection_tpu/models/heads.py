@@ -181,3 +181,34 @@ class Segmenter(nn.Module):
             name="out",
         )(x)
         return logits  # [N, *spatial, seg_classes + 1]
+
+
+class DeepSupervisionSegmenter(nn.Module):
+    """Segmentation heads on several decoder levels for deep supervision
+    (reference ``DeepSupervisionSegmenterFGBG``, ``segmenter.py:399``).
+
+    Returns one logits map per supervised level (highest resolution first);
+    the loss downsamples the GT to each level
+    (:func:`nndetection_tpu.losses.deep_supervision_seg_loss`-style maxpool).
+    """
+
+    seg_classes: int = 1
+    num_levels: int = 3
+    dim: int = 3
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, fmaps: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        outs = []
+        for level in range(min(self.num_levels, len(fmaps))):
+            outs.append(
+                nn.Conv(
+                    features=self.seg_classes + 1,
+                    kernel_size=(1,) * self.dim,
+                    use_bias=True,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"out_P{level}",
+                )(fmaps[level])
+            )
+        return outs

@@ -79,6 +79,8 @@ class RetinaUNetConfig:
     segmenter_alpha: float = 0.5
     segmenter_fg_bg: bool = True
     batch_dice: bool = True
+    segmenter_deep_supervision: bool = False
+    seg_supervision_levels: int = 3
     # postprocessing
     topk_candidates: int = 10000
     score_thresh: float = 0.0
@@ -185,17 +187,32 @@ class RetinaUNet(nn.Module):
             dtype=dtype,
             name="regressor",
         )(head_maps)
-        seg_logits = Segmenter(
-            seg_classes=1 if cfg.segmenter_fg_bg else cfg.seg_classes,
-            dim=cfg.dim,
-            dtype=dtype,
-            name="segmenter",
-        )(decoded)
-        return {
+        seg_cls = 1 if cfg.segmenter_fg_bg else cfg.seg_classes
+        out = {
             "box_logits": box_logits.astype(jnp.float32),
             "box_deltas": box_deltas.astype(jnp.float32),
-            "seg_logits": seg_logits.astype(jnp.float32),
         }
+        if cfg.segmenter_deep_supervision:
+            from nndetection_tpu.models.heads import DeepSupervisionSegmenter
+
+            seg_list = DeepSupervisionSegmenter(
+                seg_classes=seg_cls,
+                num_levels=cfg.seg_supervision_levels,
+                dim=cfg.dim,
+                dtype=dtype,
+                name="segmenter",
+            )(decoded)
+            out["seg_logits"] = seg_list[0].astype(jnp.float32)
+            for i, s in enumerate(seg_list[1:], start=1):
+                out[f"seg_logits_aux{i}"] = s.astype(jnp.float32)
+        else:
+            out["seg_logits"] = Segmenter(
+                seg_classes=seg_cls,
+                dim=cfg.dim,
+                dtype=dtype,
+                name="segmenter",
+            )(decoded).astype(jnp.float32)
+        return out
 
 
 def assign_targets(
@@ -325,10 +342,31 @@ def train_step_loss(
     if cfg.segmenter_fg_bg:
         seg_target = (seg_target > 0).astype(jnp.int32)
     seg_logits = predictions["seg_logits"]
-    seg_ce = cfg.segmenter_alpha * L.softmax_ce_loss(seg_logits, seg_target)
-    seg_dice = (1 - cfg.segmenter_alpha) * L.soft_dice_loss(
-        seg_logits, seg_target, batch_dice=cfg.batch_dice, do_bg=False
-    )
+    if cfg.segmenter_deep_supervision:
+        aux = [
+            predictions[f"seg_logits_aux{i}"]
+            for i in range(1, cfg.seg_supervision_levels)
+            if f"seg_logits_aux{i}" in predictions
+        ]
+        logits_list = [seg_logits] + aux
+        strides = [
+            tuple(
+                seg_target.shape[1 + d] // l.shape[1 + d]
+                for d in range(seg_target.ndim - 1)
+            )
+            for l in logits_list
+        ]
+        ds = L.deep_supervision_seg_loss(
+            logits_list, seg_target, strides,
+            alpha=cfg.segmenter_alpha, batch_dice=cfg.batch_dice,
+        )
+        seg_ce = ds
+        seg_dice = jnp.zeros(())
+    else:
+        seg_ce = cfg.segmenter_alpha * L.softmax_ce_loss(seg_logits, seg_target)
+        seg_dice = (1 - cfg.segmenter_alpha) * L.soft_dice_loss(
+            seg_logits, seg_target, batch_dice=cfg.batch_dice, do_bg=False
+        )
     return {
         "cls": cls_loss,
         "reg": reg_loss,
