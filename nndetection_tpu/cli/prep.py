@@ -13,22 +13,14 @@ from nndetection_tpu.utils.config import compose
 log = logging.getLogger("nndet")
 
 
-def check_dataset(task_dir) -> None:
+def check_dataset(task_dir, full: bool = False) -> None:
     """Schema + consistency checks (``utils/check.py:77-315``)."""
-    info = DatasetInfo.from_file(task_dir / "dataset.yaml")
-    splitted = task_dir / "raw_splitted"
-    cases = discover_cases(
-        splitted / "imagesTr", splitted / "labelsTr", info.num_modalities
-    )
-    problems = []
-    for c in cases:
-        if c.label is None:
-            problems.append(f"{c.case_id}: missing label")
-        if c.label_json is None:
-            problems.append(f"{c.case_id}: missing instances json")
+    from nndetection_tpu.utils.check import check_data_and_label_consistency
+
+    problems = check_data_and_label_consistency(task_dir, full=full)
     if problems:
         raise RuntimeError("dataset check failed:\n" + "\n".join(problems))
-    log.info(f"dataset check passed: {len(cases)} training cases")
+    log.info("dataset check passed")
 
 
 def main() -> None:
@@ -40,7 +32,7 @@ def main() -> None:
 
     task_dir = resolve_task(args.task)
     setup_logging(task_dir / "preprocessed" / "prep.log")
-    check_dataset(task_dir)
+    check_dataset(task_dir, full=args.full_check)
     plan = run_prep(task_dir, num_workers=args.num_workers, planner=Planner())
     log.info(
         f"plan {plan.plan_id}: patch={plan.patch_size} batch={plan.batch_size} "

@@ -86,6 +86,22 @@ def run_prep(
             intensity_properties=plan.intensity_properties,
             use_nonzero_mask=plan.use_nonzero_mask,
         )
+    # corrupted-file detector: re-load every processed case and regenerate
+    # failures (reference ``scripts/preprocess.py:210-295``)
+    from nndetection_tpu.utils.io import load_npz_looped
+
+    for cid in case_ids:
+        try:
+            load_npz_looped(out_images / f"{cid}.npz", keys=["data"])
+        except Exception:  # noqa: BLE001 — regenerate single-process
+            process_case(
+                cropped_dir, out_images, out_labels, cid,
+                target_spacing=np.asarray(plan.target_spacing),
+                transpose_forward=plan.transpose_forward,
+                normalization_schemes=plan.normalization_schemes,
+                intensity_properties=plan.intensity_properties,
+                use_nonzero_mask=plan.use_nonzero_mask,
+            )
     unpack_dataset(out_images)
 
     make_splits(case_ids, prep_dir / "splits_final.pkl")
@@ -230,6 +246,7 @@ def predict_dir(
     restore: bool = False,
     ensembler_parameters: Optional[Dict[str, Any]] = None,
     batch_size: int = 4,
+    predict_seg: bool = False,
 ) -> None:
     """Predict all preprocessed cases in a directory
     (``/root/reference/nndet/inference/helper.py:30-111``)."""
@@ -240,6 +257,7 @@ def predict_dir(
         batch_size=batch_size,
         tta=tta,
         ensembler_parameters=ensembler_parameters,
+        predict_seg=predict_seg,
     )
     if case_ids is None:
         case_ids = sorted(
@@ -267,6 +285,21 @@ def predict_dir(
             },
             output_dir / f"{cid}_boxes.pkl",
         )
+        if predict_seg and "pred_seg" in result:
+            seg = result["pred_seg"]
+            if restore and props:
+                from nndetection_tpu.inference.restore import restore_fmap
+
+                seg = restore_fmap(
+                    seg,
+                    transpose_forward=props.get("transpose_forward", [0, 1, 2]),
+                    original_shape_cropped=props.get(
+                        "shape_after_crop", seg.shape
+                    ),
+                    original_shape=props.get("shape_before_crop", seg.shape),
+                    crop_bbox=props.get("crop_bbox"),
+                )
+            np.savez_compressed(output_dir / f"{cid}_seg.npz", seg=seg)
 
 
 def run_sweep(
