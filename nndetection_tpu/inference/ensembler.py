@@ -272,6 +272,100 @@ class BoxEnsemblerSelective:
         return obj
 
 
+class OverlapMap:
+    """Per-voxel tile-overlap counter used to estimate the number of
+    *expected* predictions per box (``ensembler/base.py:230-303``)."""
+
+    def __init__(self, case_shape: Sequence[int]):
+        self.map = np.zeros(tuple(int(s) for s in case_shape), dtype=np.float32)
+
+    def add_tile(self, tile_origin: Sequence[int], tile_size: Sequence[int]) -> None:
+        sl = tuple(
+            slice(int(o), int(o) + int(p)) for o, p in zip(tile_origin, tile_size)
+        )
+        self.map[sl] += 1.0
+
+    def mean_overlap_in_boxes(self, boxes: np.ndarray) -> np.ndarray:
+        """Mean overlap count inside each box (expected preds per stream)."""
+        out = np.ones(len(boxes), dtype=np.float32)
+        shape = self.map.shape
+        for i, b in enumerate(boxes):
+            sl = tuple(
+                slice(
+                    int(max(0, np.floor(lo))), int(min(s, max(np.ceil(hi), np.floor(lo) + 1)))
+                )
+                for lo, hi, s in ((b[0], b[2], shape[0]), (b[1], b[3], shape[1]), (b[4], b[5], shape[2]))
+            )
+            region = self.map[sl]
+            out[i] = float(region.mean()) if region.size else 1.0
+        return out
+
+
+class BoxEnsemblerWBC(BoxEnsemblerSelective):
+    """Classic WBC ensembler (``detection.py:37-536``): no per-model NMS —
+    every (model x TTA) stream's tile predictions go straight into one
+    whole-case weighted box clustering whose expected-prediction count comes
+    from the tile OverlapMap x number of streams."""
+
+    def __init__(self, case_shape, parameters=None, properties=None):
+        super().__init__(case_shape, parameters, properties)
+        self.overlap_map = OverlapMap(case_shape)
+        self._tiles_counted_for: Optional[Hashable] = None
+
+    def process_tile(self, boxes, scores, labels, tile_origin, tile_size):
+        # count each tile once (the grid repeats identically per stream)
+        if self._tiles_counted_for in (None, self.model_current):
+            self._tiles_counted_for = self.model_current
+            self.overlap_map.add_tile(tile_origin, tile_size)
+        super().process_tile(boxes, scores, labels, tile_origin, tile_size)
+
+    def get_case_result(self) -> Dict[str, np.ndarray]:
+        p = self.parameters
+        num_streams = max(len(self.model_results), 1)
+        boxes_l, probs_l, labels_l, weights_l = [], [], [], []
+        for res in self.model_results.values():
+            if res["boxes"]:
+                boxes_l.append(np.concatenate(res["boxes"]))
+                probs_l.append(np.concatenate(res["scores"]))
+                labels_l.append(np.concatenate(res["labels"]))
+                weights_l.append(np.concatenate(res["weights"]))
+        if not boxes_l:
+            return {
+                "pred_boxes": np.zeros((0, 6)),
+                "pred_scores": np.zeros((0,)),
+                "pred_labels": np.zeros((0,), np.int64),
+            }
+        boxes = np.concatenate(boxes_l)
+        probs = np.concatenate(probs_l)
+        labels = np.concatenate(labels_l)
+        weights = np.concatenate(weights_l)
+
+        idx = np.argsort(-probs, kind="stable")[: p["ensemble_topk"]]
+        boxes, probs, labels, weights = boxes[idx], probs[idx], labels[idx], weights[idx]
+        boxes = clip_boxes_to_image_np(boxes, self.case_shape)
+        keep = np.all(box_size_np(boxes) >= p["remove_small_boxes"], axis=-1)
+        boxes, probs, labels, weights = boxes[keep], probs[keep], labels[keep], weights[keep]
+        if len(boxes) == 0:
+            return {
+                "pred_boxes": np.zeros((0, 6)),
+                "pred_scores": np.zeros((0,)),
+                "pred_labels": np.zeros((0,), np.int64),
+            }
+        n_exp = self.overlap_map.mean_overlap_in_boxes(boxes) * num_streams
+        b, s, l = batched_wbc_ensemble(
+            boxes, probs, labels, weights,
+            iou_thresh=p["ensemble_iou"],
+            n_exp_preds=n_exp,
+            score_thresh=p["ensemble_score_thresh"],
+        )
+        order = np.argsort(-s, kind="stable")
+        return {
+            "pred_boxes": b[order],
+            "pred_scores": s[order],
+            "pred_labels": l[order].astype(np.int64),
+        }
+
+
 class SegmentationEnsembler:
     """Sliding-window softmax accumulation with Gaussian tile weighting
     (``/root/reference/nndet/inference/ensembler/segmentation.py:32-325``)."""
