@@ -67,6 +67,7 @@ def main() -> None:
         trainer_overrides=trainer_overrides_from_cfg(cfg),
         model_overrides=get_dotted(cfg, "model_cfg.plan_arch_overwrites", {}),
         plan_id=cfg["plan"],
+        module=cfg["module"],
         augment=not args.no_aug,
         log_fn=log_fn,
     )

@@ -180,12 +180,16 @@ def run_train(
     trainer_overrides: Optional[Dict[str, Any]] = None,
     model_overrides: Optional[Dict[str, Any]] = None,
     plan_id: str = "D3V001_3d",
+    module: str = "RetinaUNetV001",
     augment: bool = True,
     log_fn=None,
 ) -> Path:
     """Train one fold; writes ``model_last.ckpt``/``model_best.ckpt`` + plan
     (``scripts/train.py:166-327``)."""
+    from nndetection_tpu import modules as _modules  # registers variants
     from nndetection_tpu.evaluator.det import BoxEvaluator
+    from nndetection_tpu.utils.registry import MODULE_REGISTRY
+    from nndetection_tpu.utils.tracking import RunTracker
 
     task_dir, model_dir = Path(task_dir), Path(model_dir)
     prep_dir = task_dir / "preprocessed"
@@ -199,11 +203,18 @@ def run_train(
     tkw = dict(trainer_overrides or {})
     batch_size = tkw.pop("batch_size", None) or plan.batch_size
     tcfg = TrainerConfig(batch_size=batch_size, **tkw)
-    model_cfg = plan.model_config(**(model_overrides or {}))
+    module_cls = MODULE_REGISTRY[module]
+    model_cfg = module_cls.model_config(plan, **(model_overrides or {}))
 
     out_dir = model_dir / f"fold{fold}"
     out_dir.mkdir(parents=True, exist_ok=True)
     save_pickle(plan, out_dir / "plan.pkl")
+    tracker = RunTracker(
+        out_dir,
+        params={"module": module, "plan": plan_id, "fold": fold,
+                "trainer": tkw, "batch_size": batch_size},
+        tags={"task": task_dir.name},
+    )
 
     aug_cfg = AugmentConfig(patch_size=tuple(plan.patch_size)) if augment else (
         AugmentConfig(
@@ -224,11 +235,17 @@ def run_train(
         seed=tcfg.seed + fold,
     )
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
+
+    def _log(epoch, metrics):
+        tracker.log_metrics(epoch, metrics)
+        if log_fn:
+            log_fn(epoch, metrics)
+
     trainer.fit(
         train_iter_fn=lambda e: train_loader.epoch(tcfg.num_train_batches_per_epoch),
         val_iter_fn=lambda e: val_loader.epoch(tcfg.num_val_batches_per_epoch),
         evaluator_fn=lambda: BoxEvaluator.create(classes, fast=True),
-        log_fn=log_fn,
+        log_fn=_log,
     )
     return out_dir
 

@@ -1,0 +1,86 @@
+"""Capture a device profile of the train step and summarize op costs."""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def main():
+    import jax
+
+    from bench import luna_cfg, make_batch
+    from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
+    from nndetection_tpu.parallel.mesh import make_mesh, shard_batch
+    from nndetection_tpu.train.trainer import Trainer, TrainerConfig
+
+    patch = (96, 128, 128)
+    cfg = luna_cfg(patch)
+    tr = Trainer(
+        cfg,
+        TrainerConfig(batch_size=4, warm_iterations=10),
+        mesh=make_mesh(n_data=1),
+        augment_cfg=AugmentConfig(patch_size=cfg.patch_size),
+    )
+    state = tr.init_state()
+    gp = get_generator_patch_size(patch)
+    db = shard_batch(tr.mesh, make_batch(np.random.RandomState(0), 4, gp))
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, losses = tr._train_step(state, db, key)
+    jax.block_until_ready(state.params)
+    log(f"compile+1st step: {time.time()-t0:.1f}s")
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, _ = tr._train_step(state, db, sub)
+    jax.block_until_ready(state.params)
+
+    trace_dir = "/tmp/jaxtrace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            state, _ = tr._train_step(state, db, sub)
+        jax.block_until_ready(state.params)
+    log("trace captured")
+
+    # summarize device op durations from the chrome trace
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    log(f"trace files: {files}")
+    totals = defaultdict(float)
+    device_total = 0.0
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            pid_name = ev.get("pid")
+            name = ev.get("name", "")
+            dur = ev.get("dur", 0) / 1e6  # seconds
+            args = ev.get("args") or {}
+            # device lanes usually carry 'long_name'/'tf_op' args
+            key_name = args.get("long_name") or name
+            short = key_name.split(".")[0][:60]
+            totals[short] += dur
+            device_total += dur
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:30]
+    log(f"total traced op-seconds: {device_total:.2f} (3 steps)")
+    for name, dur in top:
+        log(f"{dur:8.3f}s  {name}")
+
+
+if __name__ == "__main__":
+    main()
