@@ -23,6 +23,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from nndetection_tpu.utils.io import load_pickle
+from nndetection_tpu.utils.registry import DATALOADER_REGISTRY
 
 
 @dataclass
@@ -56,8 +57,14 @@ def build_case_records(image_dir) -> List[CaseRecord]:
     return records
 
 
+@DATALOADER_REGISTRY.register(name="DataLoader3DOffset")
 class PatchLoader:
-    """Fixed-length random patch sampler over a set of cases."""
+    """Fixed-length random patch sampler over a set of cases.
+
+    Registered as ``DataLoader3DOffset`` (the reference default); the
+    ``DataLoader3DBalanced`` variant below enables class-balanced fg
+    sampling; ``DataLoader3DFast`` is the offset loader without the
+    whole-instance-fits constraint."""
 
     def __init__(
         self,
@@ -160,6 +167,35 @@ class PatchLoader:
     def epoch(self, num_batches: int) -> Iterator[Dict[str, np.ndarray]]:
         for _ in range(num_batches):
             yield self.generate_batch()
+
+
+@DATALOADER_REGISTRY.register(name="DataLoader3DBalanced")
+class BalancedPatchLoader(PatchLoader):
+    """Class-balanced foreground sampling (``bg_loader.py:397-440``)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["balanced_classes"] = True
+        super().__init__(*args, **kwargs)
+
+
+@DATALOADER_REGISTRY.register(name="DataLoader3DFast")
+class FastPatchLoader(PatchLoader):
+    """Foreground crops centered on a random voxel inside the instance box
+    without forcing the whole instance into the patch
+    (``bg_loader.py:47-333``)."""
+
+    def _fg_origin(self, rec: CaseRecord) -> np.ndarray:
+        i = self.rng.randint(len(rec.boxes))
+        box = rec.boxes[i]
+        lo = np.array([box[0], box[1], box[4]][: self.dim])
+        hi = np.array([box[2], box[3], box[5]][: self.dim])
+        center = np.array(
+            [self.rng.randint(int(a), max(int(b), int(a) + 1)) for a, b in zip(lo, hi)]
+        )
+        patch = np.asarray(self.patch_size)
+        shape = np.asarray(rec.shape)
+        origin = center - patch // 2
+        return np.clip(origin, 0, np.maximum(shape - patch, 0)).astype(np.int64)
 
 
 class PrefetchIterator:
