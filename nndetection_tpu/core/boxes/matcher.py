@@ -185,12 +185,18 @@ def gather_matched(
     (``/root/reference/nndet/core/retina.py:228-290``): labels are
     ``gt_class + 1`` for matched anchors, ``0`` background, ``-1`` ignore.
 
+    The per-anchor row gather over millions of anchors is expressed as a
+    one-hot (A x G) contraction — a small MXU matmul — because TPU gathers
+    fetch a full memory tile per element.
+
     Returns:
         ``(labels [A] int32, matched_boxes [A, 2*dim])``
     """
     idx = jnp.clip(match.matched_idx, min=0)
-    matched_boxes = gt_boxes[idx]
-    labels = gt_classes[idx].astype(jnp.int32) + 1
+    num_gt = gt_boxes.shape[0]
+    oh = jax.nn.one_hot(idx, num_gt, dtype=jnp.float32)  # [A, G]
+    matched_boxes = oh @ gt_boxes.astype(jnp.float32)  # [A, 2*dim]
+    labels = (oh @ (gt_classes.astype(jnp.float32) + 1.0)).astype(jnp.int32)
     labels = jnp.where(match.matched_idx == BELOW_LOW_THRESHOLD, 0, labels)
     labels = jnp.where(match.matched_idx == BETWEEN_THRESHOLDS, -1, labels)
     return labels, matched_boxes

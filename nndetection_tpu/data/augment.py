@@ -152,6 +152,17 @@ def augment_sample(
 
     # --- spatial: affine rotation/scale (always-resample design) ---
     coords = _affine_coords(keys[0], in_shape, out_shape, cfg)
+
+    # low-resolution simulation is FOLDED INTO the affine coordinates
+    # (quantize source coords to a coarse grid) so it costs zero additional
+    # gathers — volumetric gathers are the dominant step cost on TPU
+    zoom = jax.random.uniform(
+        keys[9], (), minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1]
+    )
+    do_lowres = (jax.random.uniform(keys[14]) < cfg.p_lowres) & (cfg.p_lowres > 0)
+    coords_q = jnp.floor(coords * zoom) / jnp.maximum(zoom, 1e-3)
+    coords = jnp.where(do_lowres, coords_q, coords)
+
     data_out = jnp.stack(
         [
             map_coordinates(data[..., c], list(coords), order=1, mode="constant")
@@ -200,22 +211,7 @@ def augment_sample(
         (x - mean) * factor + mean,
         x,
     )
-    # low-res simulation: nearest sampling on a coarsened grid
-    zoom = jax.random.uniform(
-        keys[9], (), minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1]
-    )
-    base = jnp.meshgrid(
-        *[jnp.arange(s, dtype=jnp.float32) for s in out_shape], indexing="ij"
-    )
-    coarse = [jnp.round(jnp.floor(g * zoom) / zoom) for g in base]
-    lowres = jnp.stack(
-        [
-            map_coordinates(x[..., c], coarse, order=0, mode="nearest")
-            for c in range(x.shape[-1])
-        ],
-        axis=-1,
-    )
-    x = jnp.where(jax.random.uniform(keys[14]) < cfg.p_lowres, lowres, x)
+    # (low-res simulation folded into the affine gather above)
     # gamma with retained stats
     gamma = jax.random.uniform(
         keys[10], (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1]

@@ -108,6 +108,10 @@ def instances_to_semantic(
 ) -> jnp.ndarray:
     """Map instance ids to semantic classes on device.
 
+    Implemented as an unrolled compare-accumulate over the (small, static)
+    instance budget instead of a table gather — volumetric gathers fetch a
+    whole memory tile per element on TPU.
+
     Args:
         seg: ``[*spatial]`` instance ids (0 bg, -1 outside mask)
         instance_classes: ``[max_instances]`` class per id (class ids from 0)
@@ -116,7 +120,7 @@ def instances_to_semantic(
         semantic seg with classes from 1, 0 background, -1 kept.
     """
     classes1 = instance_classes.astype(jnp.int32) + 1
-    table = jnp.concatenate([jnp.zeros((1,), jnp.int32), classes1])
-    idx = jnp.clip(seg, 0, table.shape[0] - 1)
-    out = table[idx]
+    out = jnp.zeros(seg.shape, jnp.int32)
+    for i in range(instance_classes.shape[0]):
+        out = out + jnp.where(seg == i + 1, classes1[i], 0)
     return jnp.where(seg < 0, seg, out)
