@@ -50,6 +50,9 @@ class AugmentConfig:
     p_gamma: float = 0.3
     gamma_range: Tuple[float, float] = (0.7, 1.5)
     p_gamma_invert: float = 0.1
+    # MXU shear-decomposition resample instead of gather-based
+    # map_coordinates (see data/affine_mxu.py) — ~10x faster on TPU
+    use_mxu_resample: bool = True
 
 
 def get_generator_patch_size(
@@ -87,15 +90,8 @@ def _rotation_matrix_3d(angles: jnp.ndarray) -> jnp.ndarray:
     return rz @ ry @ rx
 
 
-def _affine_coords(
-    key: jax.Array,
-    in_shape: Sequence[int],
-    out_shape: Sequence[int],
-    cfg: AugmentConfig,
-) -> jnp.ndarray:
-    """Sample coordinates ``[dim, *out_shape]`` in the input patch implementing
-    random rotation+scaling about the patch center."""
-    dim = len(out_shape)
+def _sample_affine_params(key: jax.Array, cfg: AugmentConfig):
+    """Draw (angles [3], scale) with the preset's trigger probabilities."""
     k_rot, k_rot_p, k_scale, k_scale_p = jax.random.split(key, 4)
     max_rad = jnp.deg2rad(cfg.rotation_deg)
     angles = jax.random.uniform(k_rot, (3,), minval=-max_rad, maxval=max_rad)
@@ -106,6 +102,19 @@ def _affine_coords(
     )
     do_scale = jax.random.uniform(k_scale_p) < cfg.p_scale
     scale = jnp.where(do_scale, scale, 1.0)
+    return angles, scale
+
+
+def _affine_coords(
+    key: jax.Array,
+    in_shape: Sequence[int],
+    out_shape: Sequence[int],
+    cfg: AugmentConfig,
+) -> jnp.ndarray:
+    """Sample coordinates ``[dim, *out_shape]`` in the input patch implementing
+    random rotation+scaling about the patch center."""
+    dim = len(out_shape)
+    angles, scale = _sample_affine_params(key, cfg)
 
     rot = _rotation_matrix_3d(angles) if dim == 3 else _rotation_matrix_3d(
         jnp.array([0.0, 0.0, angles[2]])
@@ -151,28 +160,38 @@ def augment_sample(
     keys = jax.random.split(key, 16)
 
     # --- spatial: affine rotation/scale (always-resample design) ---
-    coords = _affine_coords(keys[0], in_shape, out_shape, cfg)
-
-    # low-resolution simulation is FOLDED INTO the affine coordinates
-    # (quantize source coords to a coarse grid) so it costs zero additional
-    # gathers — volumetric gathers are the dominant step cost on TPU
+    # low-resolution simulation is FOLDED INTO the resample (quantized source
+    # positions) so it costs zero additional passes/gathers
     zoom = jax.random.uniform(
         keys[9], (), minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1]
     )
     do_lowres = (jax.random.uniform(keys[14]) < cfg.p_lowres) & (cfg.p_lowres > 0)
-    coords_q = jnp.floor(coords * zoom) / jnp.maximum(zoom, 1e-3)
-    coords = jnp.where(do_lowres, coords_q, coords)
 
-    data_out = jnp.stack(
-        [
-            map_coordinates(data[..., c], list(coords), order=1, mode="constant")
-            for c in range(data.shape[-1])
-        ],
-        axis=-1,
-    )
-    seg_out = map_coordinates(
-        seg.astype(jnp.float32), list(coords), order=0, mode="constant", cval=-1.0
-    ).astype(jnp.int32)
+    if cfg.use_mxu_resample:
+        from nndetection_tpu.data.affine_mxu import (
+            affine_resample_mxu,
+            affine_resample_seg_mxu,
+        )
+
+        angles, scale = _sample_affine_params(keys[0], cfg)
+        data_out = affine_resample_mxu(
+            data, out_shape, angles, scale, lowres_zoom=(do_lowres, zoom)
+        )
+        seg_out = affine_resample_seg_mxu(seg, out_shape, angles, scale)
+    else:
+        coords = _affine_coords(keys[0], in_shape, out_shape, cfg)
+        coords_q = jnp.floor(coords * zoom) / jnp.maximum(zoom, 1e-3)
+        coords = jnp.where(do_lowres, coords_q, coords)
+        data_out = jnp.stack(
+            [
+                map_coordinates(data[..., c], list(coords), order=1, mode="constant")
+                for c in range(data.shape[-1])
+            ],
+            axis=-1,
+        )
+        seg_out = map_coordinates(
+            seg.astype(jnp.float32), list(coords), order=0, mode="constant", cval=-1.0
+        ).astype(jnp.int32)
 
     # --- mirror (p=0.5 per allowed axis) ---
     flips = jax.random.uniform(keys[1], (dim,)) < 0.5
