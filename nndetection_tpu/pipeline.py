@@ -104,6 +104,24 @@ def run_prep(
             )
     unpack_dataset(out_images)
 
+    # low-resolution fallback stage when the largest objects exceed the patch
+    # (``v001.py:186-210``): derive, save and preprocess the `3dlr1` plan
+    if plan.requires_lowres:
+        plan_lr = planner.plan_lowres(plan, props, info)
+        save_pickle(plan_lr, prep_dir / f"{plan_lr.plan_id}.pkl")
+        lr_images = prep_dir / plan_lr.plan_id / "imagesTr"
+        lr_labels = prep_dir / plan_lr.plan_id / "labelsTr"
+        for cid in case_ids:
+            process_case(
+                cropped_dir, lr_images, lr_labels, cid,
+                target_spacing=np.asarray(plan_lr.target_spacing),
+                transpose_forward=plan_lr.transpose_forward,
+                normalization_schemes=plan_lr.normalization_schemes,
+                intensity_properties=plan_lr.intensity_properties,
+                use_nonzero_mask=plan_lr.use_nonzero_mask,
+            )
+        unpack_dataset(lr_images)
+
     make_splits(case_ids, prep_dir / "splits_final.pkl")
     return plan
 
