@@ -56,10 +56,18 @@ class ATSSMatcher:
         num_candidates: int = 4,
         center_in_gt: bool = False,
         min_dist: float = 0.01,
+        approx_topk: bool = True,
     ):
+        """``approx_topk`` selects distance candidates with
+        ``jax.lax.approx_min_k`` (TPU partial-reduction top-k, recall ~0.95;
+        exact fallback on other backends). The candidates only seed the
+        adaptive mean+std IoU threshold, so near-boundary candidate swaps do
+        not change the assignment semantics meaningfully, while exact top-k
+        sorts the full per-level anchor axis."""
         self.num_candidates = num_candidates
         self.center_in_gt = center_in_gt
         self.min_dist = min_dist
+        self.approx_topk = approx_topk
 
     def __call__(
         self,
@@ -88,7 +96,11 @@ class ATSSMatcher:
         start = 0
         for apl in num_anchors_per_level:
             k = min(self.num_candidates * num_anchors_per_loc, apl)
-            _, idx = jax.lax.top_k(-distances[:, start : start + apl], k)
+            level_d = distances[:, start : start + apl]
+            if self.approx_topk and apl > 64 * k:
+                _, idx = jax.lax.approx_min_k(level_d, k)
+            else:
+                _, idx = jax.lax.top_k(-level_d, k)
             candidate_idx.append(idx + start)
             start += apl
         candidate_idx = jnp.concatenate(candidate_idx, axis=1)  # [G, K]

@@ -30,10 +30,16 @@ import jax.numpy as jnp
 
 def _hat_weights(src_len: int, dst_len: int, src_pos: jnp.ndarray, dtype) -> jnp.ndarray:
     """Linear-interp weights. ``src_pos``: ``[..., dst_len]`` source coordinate
-    of each output index. Returns ``[..., src_len, dst_len]``."""
+    of each output index. Returns ``[..., src_len, dst_len]``.
+
+    Positions/differences are computed in f32 (bf16 cannot represent voxel
+    indices beyond ~256 exactly); only the final in-[0,1] weights are cast to
+    the compute dtype."""
     src_idx = jnp.arange(src_len, dtype=jnp.float32)
     shape = (1,) * (src_pos.ndim - 1)
-    diff = src_idx.reshape(*shape, src_len, 1) - src_pos[..., None, :]
+    diff = src_idx.reshape(*shape, src_len, 1) - src_pos[..., None, :].astype(
+        jnp.float32
+    )
     w = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
     return w.astype(dtype)
 

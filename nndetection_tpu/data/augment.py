@@ -174,9 +174,15 @@ def augment_sample(
         )
 
         angles, scale = _sample_affine_params(keys[0], cfg)
+        # shear chain in bf16: weights are in [0,1] and the MXU runs bf16 at
+        # double rate with half the HBM traffic; data is augmentation input
         data_out = affine_resample_mxu(
-            data, out_shape, angles, scale, lowres_zoom=(do_lowres, zoom)
-        )
+            data.astype(jnp.bfloat16),
+            out_shape,
+            angles,
+            scale,
+            lowres_zoom=(do_lowres, zoom),
+        ).astype(data.dtype)
         seg_out = affine_resample_seg_mxu(seg, out_shape, angles, scale)
     else:
         coords = _affine_coords(keys[0], in_shape, out_shape, cfg)
