@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _hat_weights(src_len: int, dst_len: int, src_pos: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -136,21 +137,42 @@ def affine_resample_mxu(
     (the same map as :func:`nndetection_tpu.data.augment._affine_coords`) using
     only matmuls.
 
-    Composition: since ``v(Rz Ry Rx S p)`` = ``(((v∘Rz)∘Ry)∘Rx)∘S``, the
-    volume is rotated by Rz, then Ry, then Rx (each as 3 shears at generator
-    resolution), then the scale+crop pass maps to ``out_shape``.
+    Composition: the isotropic scale commutes with the rotation
+    (``R·s = s·R``), so the cheap separable scale pass runs FIRST, mapping the
+    generator patch down to a small intermediate grid that just contains the
+    rotated output extent; the nine shear passes then run at ~5x fewer voxels
+    and the final step is a free center crop.
     """
     ax, ay, az = angles[0], angles[1], angles[2]
+    # intermediate grid: output extent inflated for the worst-case rotation
+    # (static bound; same formula as the generator-patch enlargement).
+    # mid keeps the OUTPUT's parity so the final center crop is an exact
+    # integer slice; any fractional half-voxel offset then lives in the scale
+    # pass exactly where the single-pass formulation had it.
+    def _mid(o, s):
+        o, s = int(o), int(s)
+        margin = int(np.ceil(o * 0.45)) + 2
+        m = o + margin + (margin % 2)
+        cap = s - ((s - o) % 2)
+        return max(o, min(m, cap))
+
+    mid_shape = tuple(_mid(o, s) for o, s in zip(out_shape, vol.shape[:3]))
+    for axis in range(3):
+        vol = _scale_crop_axis(
+            vol, axis, mid_shape[axis], scale, nearest, lowres_zoom
+        )
     # rotation matrices act on coordinate components (0,1,2); "rx" mixes (1,2),
     # "ry" mixes (0,2), "rz" mixes (0,1) — mirroring _rotation_matrix_3d
     vol = _planar_rotation(vol, 0, 1, az, nearest)
     vol = _planar_rotation(vol, 0, 2, -ay, nearest)
     vol = _planar_rotation(vol, 1, 2, ax, nearest)
-    for axis in range(3):
-        vol = _scale_crop_axis(
-            vol, axis, int(out_shape[axis]), scale, nearest, lowres_zoom
-        )
-    return vol
+    # centered crop mid -> out (pure slice)
+    starts = [(m - int(o)) // 2 for m, o in zip(mid_shape, out_shape)]
+    return vol[
+        starts[0] : starts[0] + int(out_shape[0]),
+        starts[1] : starts[1] + int(out_shape[1]),
+        starts[2] : starts[2] + int(out_shape[2]),
+    ]
 
 
 def affine_resample_seg_mxu(
