@@ -76,10 +76,20 @@ class PatchLoader:
         seed: int = 0,
         balanced_classes: bool = False,
         num_classes: int = 1,
+        inner_patch_size: Optional[Sequence[int]] = None,
     ):
+        """``patch_size`` is what gets extracted (the enlarged generator patch
+        when device-side affine augmentation follows); ``inner_patch_size`` is
+        the final network patch — the foreground-offset constraint targets the
+        centered inner region so instances survive the post-augmentation crop."""
         assert len(records) > 0, "no cases to sample from"
         self.records = list(records)
         self.patch_size = tuple(int(p) for p in patch_size)
+        self.inner_patch = (
+            tuple(int(p) for p in inner_patch_size)
+            if inner_patch_size is not None
+            else self.patch_size
+        )
         self.batch_size = batch_size
         self.oversample = oversample_foreground_percent
         self.max_instances = max_instances
@@ -87,6 +97,14 @@ class PatchLoader:
         self.balanced_classes = balanced_classes
         self.num_classes = num_classes
         self.dim = len(self.patch_size)
+        self._arr_cache = {}
+
+    def _array(self, rec: CaseRecord):
+        arr = self._arr_cache.get(rec.case_id)
+        if arr is None:
+            arr = np.load(rec.npy_path, mmap_mode="r")
+            self._arr_cache[rec.case_id] = arr
+        return arr
 
     def _needs_fg(self, idx_in_batch: int) -> bool:
         # last `oversample` fraction of the batch is forced-foreground
@@ -105,14 +123,19 @@ class PatchLoader:
         lo = np.array([box[0], box[1], box[4]][: self.dim])
         hi = np.array([box[2], box[3], box[5]][: self.dim])
         patch = np.asarray(self.patch_size)
+        inner = np.asarray(self.inner_patch)
+        margin = (patch - inner) // 2
         shape = np.asarray(rec.shape)
-        # valid origin range so that [lo, hi) subset of [o, o+patch)
-        o_min = np.maximum(0, hi - patch).astype(np.int64)
-        o_max = np.minimum(lo, shape - patch).astype(np.int64)
+        # valid INNER-region origin so that [lo, hi) subset of the centered
+        # final-patch window; then shift back by the generator margin
+        o_min = np.maximum(0, hi - inner).astype(np.int64)
+        o_max = np.minimum(lo, np.maximum(shape - inner, 0)).astype(np.int64)
         o_max = np.maximum(o_max, o_min)
-        return np.array(
+        inner_origin = np.array(
             [self.rng.randint(a, b + 1) for a, b in zip(o_min, o_max)], np.int64
         )
+        origin = inner_origin - margin
+        return np.clip(origin, 0, np.maximum(shape - patch, 0)).astype(np.int64)
 
     def _bg_origin(self, rec: CaseRecord) -> np.ndarray:
         shape = np.asarray(rec.shape)
@@ -121,7 +144,7 @@ class PatchLoader:
         return np.array([self.rng.randint(0, h + 1) for h in hi], np.int64)
 
     def sample_patch(self, rec: CaseRecord, force_fg: bool):
-        arr = np.load(rec.npy_path, mmap_mode="r")
+        arr = self._array(rec)
         shape = np.asarray(rec.shape)
         patch = np.asarray(self.patch_size)
 

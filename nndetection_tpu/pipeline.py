@@ -179,6 +179,7 @@ def build_loaders(
         oversample_foreground_percent=oversample,
         max_instances=plan.max_instances_per_patch,
         seed=seed,
+        inner_patch_size=tuple(plan.patch_size),
     )
     val_loader = PatchLoader(
         [by_id[c] for c in val_ids] or [by_id[c] for c in train_ids],
