@@ -181,9 +181,13 @@ class PatchLoader:
                 if 1 <= iid <= self.max_instances:
                     table[iid - 1] = cls
             tables.append(table)
+        # bf16 images / int16 seg: 4x less host->device transfer per step;
+        # the device pipeline computes in bf16 anyway
+        import ml_dtypes
+
         return {
-            "images": np.stack(images).astype(np.float32),
-            "seg_instances": np.stack(segs),
+            "images": np.stack(images).astype(ml_dtypes.bfloat16),
+            "seg_instances": np.stack(segs).astype(np.int16),
             "instance_classes": np.stack(tables),
         }
 
