@@ -81,6 +81,10 @@ class RetinaUNetConfig:
     batch_dice: bool = True
     segmenter_deep_supervision: bool = False
     seg_supervision_levels: int = 3
+    # "dice_ce" (default) | "dice_topk" (hardest-k% CE, reference
+    # DiceTopKSegmenter, segmenter.py:292)
+    seg_loss_type: str = "dice_ce"
+    seg_topk_fraction: float = 10.0
     # postprocessing
     topk_candidates: int = 10000
     score_thresh: float = 0.0
@@ -363,7 +367,11 @@ def train_step_loss(
         seg_ce = ds
         seg_dice = jnp.zeros(())
     else:
-        seg_ce = cfg.segmenter_alpha * L.softmax_ce_loss(seg_logits, seg_target)
+        if cfg.seg_loss_type == "dice_topk":
+            ce = L.topk_ce_loss(seg_logits, seg_target, cfg.seg_topk_fraction)
+        else:
+            ce = L.softmax_ce_loss(seg_logits, seg_target)
+        seg_ce = cfg.segmenter_alpha * ce
         seg_dice = (1 - cfg.segmenter_alpha) * L.soft_dice_loss(
             seg_logits, seg_target, batch_dice=cfg.batch_dice, do_bg=False
         )

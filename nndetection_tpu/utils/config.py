@@ -113,6 +113,16 @@ def compose(
     return _interp(cfg)
 
 
+def load_additional_imports(cfg: Dict[str, Any]) -> None:
+    """Import plugin modules listed under ``additional_imports`` so their
+    registry entries become available (reference
+    ``scripts/predict.py:217-219``)."""
+    import importlib
+
+    for name in cfg.get("additional_imports", []) or []:
+        importlib.import_module(name)
+
+
 def env_paths() -> Dict[str, Path]:
     """Resolve the ``det_data`` / ``det_models`` environment contract
     (``/root/reference/nndet/utils/check.py:20-64``)."""
