@@ -139,7 +139,7 @@ def run_inference(patch, batch, case_shape=(192, 384, 384), tta=False) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--patch", type=int, nargs=3, default=None)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--no_aug", action="store_true")
