@@ -69,6 +69,10 @@ def main() -> None:
         plan_id=cfg["plan"],
         module=cfg["module"],
         augment=not args.no_aug,
+        augmentation=get_dotted(cfg, "augment_cfg.augmentation", "base_more"),
+        oversample=get_dotted(
+            cfg, "augment_cfg.oversample_foreground_percent", 0.5
+        ),
         log_fn=log_fn,
     )
     save_json(metrics_log, out_dir / "metrics.json")

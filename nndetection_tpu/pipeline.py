@@ -201,6 +201,8 @@ def run_train(
     plan_id: str = "D3V001_3d",
     module: str = "RetinaUNetV001",
     augment: bool = True,
+    augmentation: str = "base_more",
+    oversample: float = 0.5,
     log_fn=None,
 ) -> Path:
     """Train one fold; writes ``model_last.ckpt``/``model_best.ckpt`` + plan
@@ -235,13 +237,10 @@ def run_train(
         tags={"task": task_dir.name},
     )
 
-    aug_cfg = AugmentConfig(patch_size=tuple(plan.patch_size)) if augment else (
-        AugmentConfig(
-            patch_size=tuple(plan.patch_size),
-            p_rotation=0.0, p_scale=0.0, p_noise=0.0, p_blur=0.0,
-            p_brightness=0.0, p_contrast=0.0, p_lowres=0.0, p_gamma=0.0,
-            mirror_axes=(),
-        )
+    from nndetection_tpu.data.aug_presets import get_augmentation
+
+    aug_cfg = get_augmentation(
+        augmentation if augment else "no_aug", tuple(plan.patch_size)
     )
     trainer = Trainer(model_cfg, tcfg, output_dir=out_dir, augment_cfg=aug_cfg)
     train_loader, val_loader = build_loaders(
@@ -250,6 +249,7 @@ def run_train(
         splits,
         fold,
         batch_size,
+        oversample=oversample,
         augment=augment,
         seed=tcfg.seed + fold,
     )
