@@ -72,14 +72,17 @@ class Predictor:
         model = RetinaUNet(cfg)
         tile_topk, tile_det = self.tile_topk, self.tile_detections
 
+        with_seg = self.predict_seg
+
         @jax.jit
         def infer(params, images):
-            preds = model.apply(params, images)
+            preds = model.apply(params, images.astype(jnp.bfloat16))
             out = batched_postprocess(
                 cfg,
                 preds,
                 anchors,
                 cfg.patch_size,
+                with_seg=with_seg,  # skip the seg softmax transfer otherwise
                 topk_candidates=tile_topk,
                 max_out=tile_det,
             )
@@ -111,7 +114,10 @@ class Predictor:
             else None
         )
 
-        # pre-extract all tiles once (channel-last)
+        # pre-extract all tiles once (channel-last, bf16 to halve the
+        # host->device transfer)
+        import ml_dtypes
+
         tiles = np.stack(
             [
                 np.moveaxis(
@@ -127,7 +133,7 @@ class Predictor:
                 )
                 for origin in grid
             ]
-        ).astype(np.float32)
+        ).astype(ml_dtypes.bfloat16)
 
         for m_idx, bundle in enumerate(self.models):
             for flips in self.tta_flips:
@@ -140,7 +146,7 @@ class Predictor:
                     if n_valid < self.batch_size:
                         pad = np.zeros(
                             (self.batch_size - n_valid, *batch_tiles.shape[1:]),
-                            np.float32,
+                            batch_tiles.dtype,
                         )
                         batch_tiles = np.concatenate([batch_tiles, pad])
                     out = self._infer(bundle.params, jnp.asarray(batch_tiles))

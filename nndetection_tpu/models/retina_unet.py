@@ -441,6 +441,7 @@ def batched_postprocess(
     predictions: Dict[str, jnp.ndarray],
     anchors: jnp.ndarray,
     image_shape: Sequence[int],
+    with_seg: bool = True,
     **kwargs,
 ) -> Dict[str, jnp.ndarray]:
     """vmapped :func:`postprocess_detections` over the batch."""
@@ -448,7 +449,7 @@ def batched_postprocess(
         cfg, lg, dl, anchors, image_shape, **kwargs
     )
     out = jax.vmap(fn)(predictions["box_logits"], predictions["box_deltas"])
-    if "seg_logits" in predictions:
+    if with_seg and "seg_logits" in predictions:
         out["seg_probs"] = jax.nn.softmax(
             predictions["seg_logits"].astype(jnp.float32), axis=-1
         )
