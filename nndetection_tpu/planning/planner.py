@@ -96,11 +96,13 @@ class Planner:
         self,
         hbm_budget: int = DEFAULT_BUDGET,
         batch_size: int = 4,
+        max_batch_size: int = 16,
         anchor_budget: int = 3000,
         plan_tag: str = "D3V001_3d",
     ):
         self.hbm_budget = hbm_budget
         self.batch_size = batch_size
+        self.max_batch_size = max_batch_size
         self.anchor_budget = anchor_budget
         self.plan_tag = plan_tag
 
@@ -160,11 +162,31 @@ class Planner:
                 num_classes=num_classes,
             )
             if est.fits(self.hbm_budget) or max(patch_final) <= 32:
+                # grow the batch while the budget allows it — TPU throughput
+                # scales strongly with batch (the step is overhead-bound at
+                # small batches); the reference's fixed batch 4 targets an
+                # 11GB GPU
+                batch = self.batch_size
+                while batch < self.max_batch_size:
+                    est2 = analytic_estimate(
+                        patch_size=patch_final,
+                        batch_size=batch * 2,
+                        in_channels=in_channels,
+                        conv_kernels=kernels,
+                        strides=pool,
+                        decoder_levels=decoder_levels,
+                        num_classes=num_classes,
+                    )
+                    if not est2.fits(self.hbm_budget):
+                        break
+                    batch *= 2
+                    est = est2
                 return {
                     "patch_size": list(patch_final),
                     "pool_strides": pool,
                     "conv_kernels": kernels,
                     "decoder_levels": decoder_levels,
+                    "batch_size": batch,
                     "mem_estimate_bytes": est.total_bytes,
                 }
             patch = shrink_largest_axis(patch_final, must_div)
@@ -270,7 +292,7 @@ class Planner:
             intensity_properties=dataset_properties["intensity_properties"],
             use_nonzero_mask=use_nonzero,
             patch_size=arch["patch_size"],
-            batch_size=self.batch_size,
+            batch_size=arch.get("batch_size", self.batch_size),
             conv_kernels=arch["conv_kernels"],
             pool_strides=arch["pool_strides"],
             decoder_levels=arch["decoder_levels"],
