@@ -390,4 +390,17 @@ class Trainer:
                     self.save_checkpoint(
                         state, self.output_dir / "model_best.ckpt", {"epoch": epoch, "score": score}
                     )
+        # the reference's SWA callback transfers the averaged weights into the
+        # model at the end of training (``/root/reference/nndet/training/
+        # swa.py:34-105``) — the final/last checkpoint carries SWA weights
+        if self.tcfg.swa_epochs > 0 and int(state.swa_count) > 0:
+            state = state._replace(
+                params=jax.tree_util.tree_map(jnp.copy, state.swa_params)
+            )
+            if self.output_dir is not None:
+                self.save_checkpoint(
+                    state,
+                    self.output_dir / "model_last.ckpt",
+                    {"epoch": total_epochs - 1, "swa_final": True},
+                )
         return state
