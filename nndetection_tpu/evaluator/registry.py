@@ -46,6 +46,10 @@ def evaluate_box_dir(
         save_dir = Path(save_dir)
         save_json(scores, save_dir / "results_boxes.json")
         save_pickle({"scores": scores, "curves": curves}, save_dir / "results_boxes.pkl")
+        if curves:
+            from nndetection_tpu.utils.analysis import plot_froc_curves
+
+            plot_froc_curves(curves, save_dir / "froc_curves.png")
     return scores, curves
 
 
