@@ -42,12 +42,14 @@ class InstanceNorm(nn.Module):
         axes = tuple(range(1, x.ndim - 1))
         # statistics accumulate in float32 WITHOUT materializing an f32 copy
         # of the activation (a full-resolution f32 cast of stage-0 maps costs
-        # GBs of HBM once residuals are kept for backward)
+        # GBs of HBM once residuals are kept for backward). The variance uses
+        # the CENTERED formula — E[x^2]-E[x]^2 cancels catastrophically for
+        # high-mean/low-variance activations and produced rsqrt blow-ups —
+        # with the subtraction fused in the compute dtype and the square
+        # accumulated in f32.
         mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(
-            jax.lax.square(x), axis=axes, keepdims=True, dtype=jnp.float32
-        )
-        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        diff = x - mean.astype(x.dtype)
+        var = jnp.mean(jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32)
         inv = jax.lax.rsqrt(var + self.epsilon)
         scale = inv
         if self.use_scale:

@@ -57,6 +57,10 @@ class TrainerConfig:
     swa_epochs: int = 10
     monitor_key: str = "mAP_IoU_0.10_0.50_0.05_MaxDet_100"
     seed: int = 42
+    # stability: global-norm gradient clip (nnU-Net v2 convention) and
+    # skip-non-finite-update guard (replaces Lightning's terminate_on_nan)
+    grad_clip_norm: float = 12.0
+    skip_nonfinite_updates: bool = True
 
 
 class TrainState(NamedTuple):
@@ -86,16 +90,22 @@ def make_optimizer(tcfg: TrainerConfig) -> Tuple[optax.GradientTransformation, C
         train_iterations=total_steps,
         swa_cycle_iterations=max(1, tcfg.num_train_batches_per_epoch),
     )
-    tx = optax.chain(
-        optax.masked(
-            optax.add_decayed_weights(tcfg.weight_decay), _decay_mask
-        ),
+    parts = []
+    if tcfg.grad_clip_norm:
+        parts.append(optax.clip_by_global_norm(tcfg.grad_clip_norm))
+    parts.append(
+        optax.masked(optax.add_decayed_weights(tcfg.weight_decay), _decay_mask)
+    )
+    parts.append(
         optax.sgd(
             learning_rate=schedule,
             momentum=tcfg.sgd_momentum,
             nesterov=tcfg.sgd_nesterov,
-        ),
+        )
     )
+    tx = optax.chain(*parts)
+    if tcfg.skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=50)
     return tx, schedule
 
 
