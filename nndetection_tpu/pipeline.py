@@ -15,7 +15,7 @@ import numpy as np
 
 from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
 from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
-from nndetection_tpu.data.loader import PatchLoader, build_case_records
+from nndetection_tpu.data.loader import PatchLoader, PrefetchIterator, build_case_records
 from nndetection_tpu.data.preprocess import (
     analyze_dataset,
     process_case,
@@ -261,8 +261,14 @@ def run_train(
             log_fn(epoch, metrics)
 
     trainer.fit(
-        train_iter_fn=lambda e: train_loader.epoch(tcfg.num_train_batches_per_epoch),
-        val_iter_fn=lambda e: val_loader.epoch(tcfg.num_val_batches_per_epoch),
+        # background-thread prefetch overlaps host patch assembly with the
+        # device step (the reference's MultiThreadedAugmenter role)
+        train_iter_fn=lambda e: PrefetchIterator(
+            train_loader.epoch(tcfg.num_train_batches_per_epoch), depth=2
+        ),
+        val_iter_fn=lambda e: PrefetchIterator(
+            val_loader.epoch(tcfg.num_val_batches_per_epoch), depth=2
+        ),
         evaluator_fn=lambda: BoxEvaluator.create(classes, fast=True),
         log_fn=_log,
     )
