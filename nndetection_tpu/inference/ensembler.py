@@ -377,6 +377,13 @@ class SegmentationEnsembler:
         self.weight = np.zeros(self.case_shape, dtype=np.float32)
         self._tile_weight_cache: Dict[tuple, np.ndarray] = {}
 
+    @classmethod
+    def sweep_parameters(cls) -> Tuple[Dict[str, Any], Dict[str, Sequence[Any]]]:
+        """No sweepable postprocessing parameters, matching the reference
+        (``segmentation.py:137-146`` returns empty dicts) — the sweep stage
+        only optimizes box postprocessing."""
+        return {}, {}
+
     def process_tile(
         self, probs: np.ndarray, tile_origin: Sequence[int]
     ) -> None:

@@ -45,6 +45,20 @@ class RetinaUNetV002(BaseModule):
     }
 
 
+@MODULE_REGISTRY.register(name="RetinaUNetV001TopK")
+class RetinaUNetV001TopK(BaseModule):
+    """V001 with the Dice+TopK-CE segmentation loss (the reference's
+    ``DiceTopKSegmenter`` head variant, ``segmenter.py:292``)."""
+
+    config_overrides = {
+        "matcher_type": "atss",
+        "cls_loss_type": "bce",
+        "reg_loss_type": "giou",
+        "segmenter_fg_bg": True,
+        "seg_loss_type": "dice_topk",
+    }
+
+
 @MODULE_REGISTRY.register(name="RetinaUNetV010")
 class RetinaUNetV010(BaseModule):
     """Classic IoU matching + BCE + smooth-L1 (RetinaNet-style baseline)."""

@@ -47,6 +47,11 @@ def test_registries_populated():
     )
 
     assert "RetinaUNetV001" in MODULE_REGISTRY
+    assert "RetinaUNetV001TopK" in MODULE_REGISTRY
+    assert (
+        MODULE_REGISTRY["RetinaUNetV001TopK"].config_overrides["seg_loss_type"]
+        == "dice_topk"
+    )
     assert "D3V001" in PLANNER_REGISTRY
     assert "DataLoader3DOffset" in DATALOADER_REGISTRY
     assert "base_more" in AUGMENTATION_REGISTRY
