@@ -1,0 +1,192 @@
+"""Spatial partitioning (halo-exchange ops) vs unsharded references.
+
+Every op runs under ``jax.shard_map`` over the ``model`` axis of a CPU mesh
+and must reproduce its slice of the global (unsharded) computation exactly.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nndetection_tpu.parallel import spatial
+
+N_DEV = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.asarray(jax.devices()[:N_DEV]).reshape(1, N_DEV)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def _shard_spec(mesh):
+    return NamedSharding(mesh, P(None, "model"))
+
+
+def _same_conv_ref(x, kernel, strides):
+    dim = x.ndim - 2
+    dn = lax.conv_dimension_numbers(
+        x.shape, kernel.shape,
+        ("NDHWC", "DHWIO", "NDHWC") if dim == 3 else ("NHWC", "HWIO", "NHWC"),
+    )
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding="SAME",
+        dimension_numbers=dn,
+    )
+
+
+class TestSpatialConv:
+    @pytest.mark.parametrize("k,s", [(3, 1), (3, 2), (5, 1), (1, 1)])
+    def test_matches_unsharded(self, mesh, k, s):
+        rng = np.random.default_rng(k * 10 + s)
+        x = jnp.asarray(rng.normal(size=(2, 16, 6, 6, 3)), dtype=jnp.float32)
+        kernel = jnp.asarray(
+            rng.normal(size=(k, k, k, 3, 4)) * 0.2, dtype=jnp.float32
+        )
+        bias = jnp.asarray(rng.normal(size=(4,)), dtype=jnp.float32)
+
+        expected = _same_conv_ref(x, kernel, (s, s, s)) + bias
+
+        fn = jax.shard_map(
+            lambda xs: spatial.spatial_conv(
+                xs, kernel, bias, strides=(s, s, s)
+            ),
+            mesh=mesh,
+            in_specs=P(None, "model"),
+            out_specs=P(None, "model"),
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d(self, mesh):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 16, 8, 2)), dtype=jnp.float32)
+        kernel = jnp.asarray(rng.normal(size=(3, 3, 2, 2)), dtype=jnp.float32)
+        expected = _same_conv_ref(x, kernel, (1, 1))
+        fn = jax.shard_map(
+            lambda xs: spatial.spatial_conv(xs, kernel, strides=(1, 1)),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(None, "model"),
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestSpatialTransposedConv:
+    def test_matches_unsharded(self, mesh):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 8, 4, 4, 3)), dtype=jnp.float32)
+        kernel = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 5)), dtype=jnp.float32)
+        dn = lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC")
+        )
+        expected = lax.conv_transpose(
+            x, kernel, strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=dn,
+        )
+        fn = jax.shard_map(
+            lambda xs: spatial.spatial_transposed_conv(
+                xs, kernel, strides=(2, 2, 2)
+            ),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(None, "model"),
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestSpatialInstanceNorm:
+    def test_global_stats(self, mesh):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            rng.normal(loc=3.0, size=(2, 16, 5, 5, 4)), dtype=jnp.float32
+        )
+        axes = (1, 2, 3)
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        expected = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+        fn = jax.shard_map(
+            lambda xs: spatial.spatial_instance_norm(xs),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(None, "model"),
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSpatialMaxPool:
+    @pytest.mark.parametrize("w,s", [(2, 2), (3, 1)])
+    def test_matches_unsharded(self, mesh, w, s):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 16, 6, 6, 2)), dtype=jnp.float32)
+        out = -(-16 // s)
+        pad_total = max((out - 1) * s + w - 16, 0)
+        pads = []
+        for dlen in (16, 6, 6):
+            o = -(-dlen // s)
+            pt = max((o - 1) * s + w - dlen, 0)
+            pads.append((pt // 2, pt - pt // 2))
+        expected = lax.reduce_window(
+            x, -jnp.inf, lax.max,
+            window_dimensions=(1, w, w, w, 1),
+            window_strides=(1, s, s, s, 1),
+            padding=((0, 0), *pads, (0, 0)),
+        )
+        fn = jax.shard_map(
+            lambda xs: spatial.spatial_max_pool(xs, (w, w, w), (s, s, s)),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(None, "model"),
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestGather:
+    def test_roundtrip(self, mesh):
+        x = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+        # all_gather's replication over `model` is not statically inferred;
+        # skip the varying-axes check for this op
+        fn = jax.shard_map(
+            lambda xs: spatial.gather_spatial(xs),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(None, None),
+            check_vma=False,
+        )
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+class TestStackedNetworkEquivalence:
+    """Two conv+IN+relu blocks with a stride-2 downsample and a stride-2
+    transposed-conv upsample — a miniature encoder/decoder stage — sharded
+    vs unsharded."""
+
+    def test_stage(self, mesh):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(1, 16, 8, 8, 2)), dtype=jnp.float32)
+        k1 = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)) * 0.3, jnp.float32)
+        k2 = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 4)) * 0.3, jnp.float32)
+        ku = jnp.asarray(rng.normal(size=(2, 2, 2, 4, 4)) * 0.3, jnp.float32)
+
+        def ref(x):
+            h = jax.nn.relu(_same_conv_ref(x, k1, (1, 1, 1)))
+            h = jax.nn.relu(_same_conv_ref(h, k2, (2, 2, 2)))
+            dn = lax.conv_dimension_numbers(h.shape, ku.shape,
+                                            ("NDHWC", "DHWIO", "NDHWC"))
+            return lax.conv_transpose(h, ku, strides=(2, 2, 2),
+                                      padding="VALID", dimension_numbers=dn)
+
+        def sharded(xs):
+            h = jax.nn.relu(spatial.spatial_conv(xs, k1, strides=(1, 1, 1)))
+            h = jax.nn.relu(spatial.spatial_conv(h, k2, strides=(2, 2, 2)))
+            return spatial.spatial_transposed_conv(h, ku, strides=(2, 2, 2))
+
+        fn = jax.shard_map(sharded, mesh=mesh,
+                           in_specs=P(None, "model"),
+                           out_specs=P(None, "model"))
+        got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)),
+                                   rtol=1e-4, atol=1e-4)
