@@ -132,6 +132,7 @@ def affine_resample_mxu(
     scale,
     nearest: bool = False,
     lowres_zoom=None,
+    inplane_only: bool = False,
 ) -> jnp.ndarray:
     """Sample ``vol`` under the affine ``src = R(angles)·scale·(dst - c_out) + c_in``
     (the same map as :func:`nndetection_tpu.data.augment._affine_coords`) using
@@ -142,6 +143,13 @@ def affine_resample_mxu(
     generator patch down to a small intermediate grid that just contains the
     rotated output extent; the nine shear passes then run at ~5x fewer voxels
     and the final step is a free center crop.
+
+    ``scale`` may be a scalar or a per-axis ``[3]`` vector; a per-axis scale
+    is only valid when the axes it distinguishes are not mixed by the
+    rotation — the dummy-2D mode (``inplane_only=True``: rotation confined to
+    the (1,2) plane, ``scale = (1, s, s)``) satisfies this because equal
+    in-plane scales commute with in-plane rotations. ``inplane_only`` also
+    skips the two out-of-plane shear chains entirely.
     """
     ax, ay, az = angles[0], angles[1], angles[2]
     # intermediate grid: output extent inflated for the worst-case rotation
@@ -156,15 +164,23 @@ def affine_resample_mxu(
         cap = s - ((s - o) % 2)
         return max(o, min(m, cap))
 
-    mid_shape = tuple(_mid(o, s) for o, s in zip(out_shape, vol.shape[:3]))
+    if inplane_only:
+        # axis 0 is never resampled in dummy-2D mode: mid == out along it
+        mid_shape = (int(out_shape[0]),) + tuple(
+            _mid(o, s) for o, s in zip(out_shape[1:], vol.shape[1:3])
+        )
+    else:
+        mid_shape = tuple(_mid(o, s) for o, s in zip(out_shape, vol.shape[:3]))
+    scale_vec = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (3,))
     for axis in range(3):
         vol = _scale_crop_axis(
-            vol, axis, mid_shape[axis], scale, nearest, lowres_zoom
+            vol, axis, mid_shape[axis], scale_vec[axis], nearest, lowres_zoom
         )
     # rotation matrices act on coordinate components (0,1,2); "rx" mixes (1,2),
     # "ry" mixes (0,2), "rz" mixes (0,1) — mirroring _rotation_matrix_3d
-    vol = _planar_rotation(vol, 0, 1, az, nearest)
-    vol = _planar_rotation(vol, 0, 2, -ay, nearest)
+    if not inplane_only:
+        vol = _planar_rotation(vol, 0, 1, az, nearest)
+        vol = _planar_rotation(vol, 0, 2, -ay, nearest)
     vol = _planar_rotation(vol, 1, 2, ax, nearest)
     # centered crop mid -> out (pure slice)
     starts = [(m - int(o)) // 2 for m, o in zip(mid_shape, out_shape)]
@@ -182,11 +198,13 @@ def affine_resample_seg_mxu(
     scale,
     cval: int = -1,
     lowres_zoom=None,
+    inplane_only: bool = False,
 ) -> jnp.ndarray:
     """Nearest-neighbor label transform; out-of-bounds voxels become ``cval``."""
     shifted = (seg.astype(jnp.float32) + 2.0)[..., None]  # outside -> 0 weight sum
     out = affine_resample_mxu(
-        shifted, out_shape, angles, scale, nearest=True, lowres_zoom=lowres_zoom
+        shifted, out_shape, angles, scale, nearest=True, lowres_zoom=lowres_zoom,
+        inplane_only=inplane_only,
     )[..., 0]
     out = jnp.round(out).astype(jnp.int32) - 2
     return jnp.where(out < -1, cval, jnp.maximum(out, cval))

@@ -36,6 +36,22 @@ class AugmentConfig:
     p_scale: float = 0.2
     scale_range: Tuple[float, float] = (0.7, 1.4)
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
+    # elastic deformation (reference SpatialTransform ``do_elastic`` — smoothed
+    # uniform noise displacement field, ``alpha``-scaled, Gaussian ``sigma``;
+    # enabled in the reference ``default``/``insane`` presets,
+    # ``conf/train/augmentation/default.yaml:8-11``)
+    p_elastic: float = 0.0
+    elastic_alpha: Tuple[float, float] = (0.0, 900.0)
+    elastic_sigma: Tuple[float, float] = (9.0, 13.0)
+    # dummy-2D anisotropic mode (reference ``bg_aug.py:68-90`` +
+    # ``bg_module.py:170-176``): spatial transforms act only in the (1,2)
+    # plane — in-plane rotation up to ±180°, in-plane scale/elastic, axis 0
+    # untouched. Triggered by the plan when max(patch)/min(patch) > 3.
+    dummy_2d: bool = False
+    # zero data outside the nonzero-normalization mask after the spatial
+    # transform (reference ``MaskTransform(set_outside_to=0)``); outside
+    # voxels carry seg == -1
+    mask_norm_zero: bool = False
     # intensity
     p_noise: float = 0.1
     noise_var: Tuple[float, float] = (0.0, 0.1)
@@ -59,13 +75,23 @@ def get_generator_patch_size(
     final_patch_size: Sequence[int],
     rotation_deg: float = 30.0,
     scale_min: float = 0.7,
+    dummy_2d: bool = False,
 ) -> Tuple[int, ...]:
     """Enlarged host-side patch so rotation/scale never sample outside
-    (reference ``get_patch_size`` semantics)."""
+    (reference ``get_patch_size`` semantics). In dummy-2D mode only the
+    in-plane axes are enlarged (``bg_aug.py:76-90``)."""
     ps = np.asarray(final_patch_size, dtype=np.float64)
-    rot = np.deg2rad(rotation_deg)
+    # worst-case in-range rotation: the |cos|+|sin| bound peaks at 45 deg
+    rot = np.deg2rad(min(abs(rotation_deg), 45.0))
     out = ps.copy()
     dim = len(ps)
+    if dummy_2d and dim == 3:
+        a, b = 1, 2
+        ca, sa = abs(np.cos(rot)), abs(np.sin(rot))
+        out[a] = max(out[a], ca * ps[a] + sa * ps[b])
+        out[b] = max(out[b], sa * ps[a] + ca * ps[b])
+        out[1:] = out[1:] / scale_min
+        return tuple(int(np.ceil(v)) for v in out)
     for axis in range(dim if dim == 3 else 1):
         # rotation around `axis` mixes the other two axes
         others = [i for i in range(dim) if i != axis] if dim == 3 else [0, 1]
@@ -77,6 +103,16 @@ def get_generator_patch_size(
         out[b] = max(out[b], nb)
     out = out / scale_min
     return tuple(int(np.ceil(v)) for v in out)
+
+
+def generator_patch_size_for(cfg: AugmentConfig) -> Tuple[int, ...]:
+    """Generator patch for a concrete augmentation config."""
+    return get_generator_patch_size(
+        cfg.patch_size,
+        rotation_deg=cfg.rotation_deg,
+        scale_min=cfg.scale_range[0],
+        dummy_2d=cfg.dummy_2d,
+    )
 
 
 def _rotation_matrix_3d(angles: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +127,11 @@ def _rotation_matrix_3d(angles: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sample_affine_params(key: jax.Array, cfg: AugmentConfig):
-    """Draw (angles [3], scale) with the preset's trigger probabilities."""
+    """Draw (angles [3], scale [3]) with the preset's trigger probabilities.
+
+    In dummy-2D mode only the in-plane rotation (about axis 0) and in-plane
+    scale are drawn (``bg_module.py:170-176``: ``rotation_x`` becomes the 2D
+    in-plane rotation, axis 0 is untouched)."""
     k_rot, k_rot_p, k_scale, k_scale_p = jax.random.split(key, 4)
     max_rad = jnp.deg2rad(cfg.rotation_deg)
     angles = jax.random.uniform(k_rot, (3,), minval=-max_rad, maxval=max_rad)
@@ -102,7 +142,50 @@ def _sample_affine_params(key: jax.Array, cfg: AugmentConfig):
     )
     do_scale = jax.random.uniform(k_scale_p) < cfg.p_scale
     scale = jnp.where(do_scale, scale, 1.0)
-    return angles, scale
+    if cfg.dummy_2d:
+        angles = angles * jnp.asarray([1.0, 0.0, 0.0])
+        scale_vec = jnp.stack([jnp.ones(()), scale, scale])
+    else:
+        scale_vec = jnp.broadcast_to(scale, (3,))
+    return angles, scale_vec
+
+
+def _elastic_field(
+    key: jax.Array,
+    out_shape: Sequence[int],
+    cfg: AugmentConfig,
+    lattice_stride: int = 4,
+) -> jnp.ndarray:
+    """Smoothed random displacement field ``[dim, *out_shape]`` (reference
+    SpatialTransform elastic: ``gaussian_filter(uniform(-1,1), sigma) * alpha``).
+
+    TPU formulation: the field is band-limited by a large Gaussian
+    (sigma 9-13 voxels), so it is sampled on a stride-``lattice_stride``
+    lattice, blurred there with ``sigma/stride``, and upsampled linearly —
+    numerically close to the full-resolution filter at ~64x less VPU work."""
+    dim = len(out_shape)
+    k_n, k_a, k_s, k_p = jax.random.split(key, 4)
+    alpha = jax.random.uniform(
+        k_a, (), minval=cfg.elastic_alpha[0], maxval=cfg.elastic_alpha[1]
+    )
+    sigma = jax.random.uniform(
+        k_s, (), minval=cfg.elastic_sigma[0], maxval=cfg.elastic_sigma[1]
+    )
+    coarse = tuple(-(-s // lattice_stride) + 1 for s in out_shape)
+    noise = jax.random.uniform(k_n, (dim, *coarse), minval=-1.0, maxval=1.0)
+    sig_c = sigma / lattice_stride
+    for ax in range(dim):
+        noise = _gaussian_blur_1d(noise, sig_c, axis=ax + 1, ksize=9)
+    # the Gaussian blur shrinks the noise amplitude by ~1/(2*sqrt(pi)*sigma)^(d/2);
+    # batchgenerators keeps the same convention (filter then scale by alpha)
+    field = jax.image.resize(noise, (dim, *out_shape), method="linear") * alpha
+    do_el = jax.random.uniform(k_p) < cfg.p_elastic
+    field = field * do_el
+    if cfg.dummy_2d:
+        field = field * jnp.asarray([0.0] + [1.0] * (dim - 1)).reshape(
+            dim, *([1] * dim)
+        )
+    return field
 
 
 def _affine_coords(
@@ -114,12 +197,12 @@ def _affine_coords(
     """Sample coordinates ``[dim, *out_shape]`` in the input patch implementing
     random rotation+scaling about the patch center."""
     dim = len(out_shape)
-    angles, scale = _sample_affine_params(key, cfg)
+    angles, scale_vec = _sample_affine_params(key, cfg)
 
     rot = _rotation_matrix_3d(angles) if dim == 3 else _rotation_matrix_3d(
         jnp.array([0.0, 0.0, angles[2]])
     )[:2, :2]
-    mat = rot * scale
+    mat = rot @ jnp.diag(scale_vec[:dim])
 
     grids = jnp.meshgrid(
         *[jnp.arange(s, dtype=jnp.float32) for s in out_shape], indexing="ij"
@@ -157,7 +240,7 @@ def augment_sample(
     out_shape = tuple(cfg.patch_size)
     dim = len(out_shape)
     in_shape = seg.shape
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 17)
 
     # --- spatial: affine rotation/scale (always-resample design) ---
     # low-resolution simulation is FOLDED INTO the resample (quantized source
@@ -167,25 +250,34 @@ def augment_sample(
     )
     do_lowres = (jax.random.uniform(keys[14]) < cfg.p_lowres) & (cfg.p_lowres > 0)
 
-    if cfg.use_mxu_resample:
+    # elastic deformation needs arbitrary (non-affine) source coordinates, so
+    # presets enabling it take the gather path; the MXU shear chain covers the
+    # pure-affine presets (incl. the published default `base_more`)
+    use_gather = (not cfg.use_mxu_resample) or cfg.p_elastic > 0
+    if not use_gather:
         from nndetection_tpu.data.affine_mxu import (
             affine_resample_mxu,
             affine_resample_seg_mxu,
         )
 
-        angles, scale = _sample_affine_params(keys[0], cfg)
+        angles, scale_vec = _sample_affine_params(keys[0], cfg)
         # shear chain in bf16: weights are in [0,1] and the MXU runs bf16 at
         # double rate with half the HBM traffic; data is augmentation input
         data_out = affine_resample_mxu(
             data.astype(jnp.bfloat16),
             out_shape,
             angles,
-            scale,
+            scale_vec,
             lowres_zoom=(do_lowres, zoom),
+            inplane_only=cfg.dummy_2d,
         ).astype(data.dtype)
-        seg_out = affine_resample_seg_mxu(seg, out_shape, angles, scale)
+        seg_out = affine_resample_seg_mxu(
+            seg, out_shape, angles, scale_vec, inplane_only=cfg.dummy_2d
+        )
     else:
         coords = _affine_coords(keys[0], in_shape, out_shape, cfg)
+        if cfg.p_elastic > 0:
+            coords = coords + _elastic_field(keys[16], out_shape, cfg)
         coords_q = jnp.floor(coords * zoom) / jnp.maximum(zoom, 1e-3)
         coords = jnp.where(do_lowres, coords_q, coords)
         data_out = jnp.stack(
@@ -251,6 +343,12 @@ def augment_sample(
     xg = xg * rng_ + lo
     xg = (xg - jnp.mean(xg)) / (jnp.std(xg) + 1e-8) * sd + mn
     x = jnp.where(jax.random.uniform(keys[15]) < cfg.p_gamma, xg, x)
+
+    # zero data outside the nonzero-normalization mask (reference
+    # ``MaskTransform(mask_idx_in_seg=0, set_outside_to=0)``, applied last in
+    # the preset stacks); outside voxels carry seg == -1 from cropping
+    if cfg.mask_norm_zero:
+        x = jnp.where((seg_out < 0)[..., None], 0.0, x)
 
     return x, seg_out
 

@@ -137,6 +137,34 @@ def softmax_ce_loss(
     return jnp.mean(nll)
 
 
+def softmax_ce_masked(
+    logits: jnp.ndarray,
+    target_labels: jnp.ndarray,
+    sample_mask: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Softmax CE over C+1 classes (background = column 0) restricted to the
+    sampled anchors — the reference ``CEClassifier`` loss
+    (``/root/reference/nndet/arch/heads/classifier.py:295-366`` with torch
+    ``CrossEntropyLoss(weight=...)``, reduction ``mean``): weighted mean
+    ``sum(w[y_i] * nll_i) / sum(w[y_i])`` over the sampled set.
+
+    Args:
+        logits: ``[N, C+1]`` logits including the background column
+        target_labels: ``[N]`` int labels (0 bg, 1..C fg)
+        sample_mask: ``[N]`` selected anchors (pos + sampled neg)
+        class_weights: optional ``[C+1]`` frequency-balancing weights
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    oh = jax.nn.one_hot(target_labels, logits.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(logp * oh, axis=-1)
+    w = sample_mask.astype(jnp.float32)
+    if class_weights is not None:
+        w = w * jnp.sum(oh * jnp.asarray(class_weights, jnp.float32)[None], axis=-1)
+    return loss_weight * jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 def topk_ce_loss(
     logits: jnp.ndarray, targets: jnp.ndarray, topk_fraction: float
 ) -> jnp.ndarray:

@@ -66,9 +66,19 @@ class RetinaUNetConfig:
     matcher_center_in_gt: bool = False
     matcher_low_threshold: float = 0.3
     matcher_high_threshold: float = 0.5
-    # loss family ("bce"|"focal" classification, "giou"|"l1" regression)
+    # loss family ("bce"|"focal"|"ce" classification, "giou"|"l1" regression);
+    # "ce" = softmax over C+1 classes with optional frequency-balanced
+    # class_weights (reference CEClassifier, ``classifier.py:295-366`` — the
+    # RetinaUNetModule base default, ``ptmodule/retinaunet/base.py:82``)
     cls_loss_type: str = "bce"
     reg_loss_type: str = "giou"
+    class_weights: Optional[Tuple[float, ...]] = None  # [C+1], bg first
+    # detection-head loss variant (reference ``comb.py:160-530``):
+    #   "hnm"        reg on *sampled* positives (DetectionHeadHNM/HNMNative)
+    #   "hnm_reg_all" reg on ALL positives (DetectionHeadHNM[Native]RegAll)
+    #   "no_sampler" no HNM: cls on all non-ignore anchors / num_pos,
+    #                reg on all positives (BoxHeadNoSampler)
+    head_type: str = "hnm"
     focal_gamma: float = 2.0
     focal_alpha: float = -1.0
     batch_size_per_image: int = 32
@@ -103,6 +113,12 @@ class RetinaUNetConfig:
     @property
     def num_levels(self) -> int:
         return len(self.conv_kernels)
+
+    @property
+    def classifier_out_classes(self) -> int:
+        """Logit channels of the classifier head: softmax-CE adds an explicit
+        background column (reference ``classifier.py:338``)."""
+        return self.classifier_classes + (1 if self.cls_loss_type == "ce" else 0)
 
     def anchors_per_loc(self) -> int:
         if self.dim == 2:
@@ -173,7 +189,7 @@ class RetinaUNet(nn.Module):
         head_maps = [decoded[l] for l in cfg.decoder_levels]
 
         box_logits = ClassifierCls(
-            num_classes=cfg.classifier_classes,
+            num_classes=cfg.classifier_out_classes,
             anchors_per_pos=cfg.anchors_per_loc(),
             internal_channels=cfg.head_channels,
             num_convs=cfg.head_num_convs,
@@ -283,45 +299,77 @@ def train_step_loss(
 
     flat_labels = labels.reshape(-1)
     flat_logits = box_logits.reshape(-1, c)
-    fg_probs = jnp.max(jax.nn.sigmoid(box_logits), axis=-1)  # [B, A]
+    # foreground probabilities driving hard-negative selection (reference
+    # ``box_logits_to_probs``: sigmoid, or softmax minus the background
+    # column for the CE classifier — ``comb.py:265-268``, ``classifier.py:357``)
+    if cfg.cls_loss_type == "ce":
+        fg_probs = jnp.max(
+            jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1)[..., 1:],
+            axis=-1,
+        )
+    else:
+        fg_probs = jnp.max(jax.nn.sigmoid(box_logits), axis=-1)  # [B, A]
 
-    # Hard-negative sampling runs PER IMAGE (the reference's
-    # ``HardNegativeSampler`` variant, ``sampler.py:101-209``) rather than the
-    # batch-global variant: under data-parallel sharding a batch-global top-k
-    # would all-gather every anchor score across the mesh; per-image sampling
-    # is shard-local and keeps the step collective-free up to the gradient
-    # all-reduce.
-    sampler = HardNegativeSamplerBatched(
-        batch_size_per_image=cfg.batch_size_per_image,
-        positive_fraction=cfg.positive_fraction,
-        min_neg=cfg.min_neg,
-        pool_size=cfg.pool_size,
-        batch_size=1,
-    )
-    keys = jax.random.split(key, b)
-    pos_mask, neg_mask = jax.vmap(sampler)(
-        keys, labels, jax.lax.stop_gradient(fg_probs)
-    )
-    pos_mask = pos_mask.reshape(-1)
-    neg_mask = neg_mask.reshape(-1)
-    sample_mask = pos_mask | neg_mask
+    if cfg.head_type == "no_sampler":
+        # BoxHeadNoSampler (``comb.py:279-348``): every non-ignore anchor
+        # enters the classification loss, every positive the regression loss.
+        pos_mask = flat_labels >= 1
+        neg_mask = flat_labels == 0
+        sample_mask = flat_labels >= 0
+    else:
+        # Hard-negative sampling runs PER IMAGE (the reference's
+        # ``HardNegativeSampler`` variant, ``sampler.py:101-209``) rather than
+        # the batch-global variant: under data-parallel sharding a
+        # batch-global top-k would all-gather every anchor score across the
+        # mesh; per-image sampling is shard-local and keeps the step
+        # collective-free up to the gradient all-reduce.
+        sampler = HardNegativeSamplerBatched(
+            batch_size_per_image=cfg.batch_size_per_image,
+            positive_fraction=cfg.positive_fraction,
+            min_neg=cfg.min_neg,
+            pool_size=cfg.pool_size,
+            batch_size=1,
+        )
+        keys = jax.random.split(key, b)
+        pos_mask, neg_mask = jax.vmap(sampler)(
+            keys, labels, jax.lax.stop_gradient(fg_probs)
+        )
+        pos_mask = pos_mask.reshape(-1)
+        neg_mask = neg_mask.reshape(-1)
+        sample_mask = pos_mask | neg_mask
+    # "RegAll" variants regress ALL positives, not just the sampled subset
+    # (``comb.py:408-530``); the no-sampler head does the same.
+    reg_mask = pos_mask if cfg.head_type == "hnm" else (flat_labels >= 1)
+    num_pos = jnp.maximum(jnp.sum(pos_mask.astype(jnp.float32)), 1.0)
 
+    num_fg = cfg.classifier_classes
     if cfg.cls_loss_type == "focal":
         cls_loss = L.focal_loss(
             flat_logits,
             jnp.clip(flat_labels, min=0),
             sample_mask,
-            num_classes=c,
+            num_classes=num_fg,
             gamma=cfg.focal_gamma,
             alpha=cfg.focal_alpha,
-        ) / jnp.maximum(jnp.sum(pos_mask.astype(jnp.float32)), 1.0)
+        ) / num_pos
+    elif cfg.cls_loss_type == "ce":
+        cw = (
+            jnp.asarray(cfg.class_weights, jnp.float32)
+            if cfg.class_weights is not None
+            else None
+        )
+        cls_loss = L.softmax_ce_masked(
+            flat_logits, jnp.clip(flat_labels, min=0), sample_mask, class_weights=cw
+        )
     else:
         cls_loss = L.bce_one_hot(
             flat_logits,
             jnp.clip(flat_labels, min=0),
             sample_mask,
-            num_classes=c,
+            num_classes=num_fg,
         )
+    if cfg.head_type == "no_sampler":
+        cls_loss = cls_loss / num_pos
 
     coder = BoxCoder(dim=cfg.dim)
     flat_anchors = jnp.broadcast_to(anchors[None], (b, a, anchors.shape[-1])).reshape(
@@ -332,14 +380,14 @@ def train_step_loss(
             matched_boxes.reshape(-1, anchors.shape[-1]), flat_anchors
         )
         reg_loss = L.smooth_l1_loss(
-            box_deltas.reshape(-1, anchors.shape[-1]), target_deltas, pos_mask
+            box_deltas.reshape(-1, anchors.shape[-1]), target_deltas, reg_mask
         )
     else:
         pred_boxes = coder.decode(
             box_deltas.reshape(-1, anchors.shape[-1]), flat_anchors
         )
         reg_loss = L.giou_loss(
-            pred_boxes, matched_boxes.reshape(-1, anchors.shape[-1]), pos_mask
+            pred_boxes, matched_boxes.reshape(-1, anchors.shape[-1]), reg_mask
         )
 
     seg_target = targets["seg"]
@@ -406,7 +454,14 @@ def postprocess_detections(
     Returns fixed-size ``boxes [M, 2*dim] / scores [M] / labels [M] /
     valid [M]`` with ``M = max_out``.
     """
-    a, c = box_logits.shape
+    a = box_logits.shape[0]
+    # softmax-CE heads carry an explicit background column dropped here
+    # (reference ``box_logits_to_probs``, ``classifier.py:357-366``)
+    if cfg.cls_loss_type == "ce":
+        probs_fg = jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1)[..., 1:]
+    else:
+        probs_fg = jax.nn.sigmoid(box_logits.astype(jnp.float32))
+    c = probs_fg.shape[-1]
     topk = min(topk_candidates or cfg.topk_candidates, a * c)
     max_out = max_out or cfg.detections_per_img
     score_thresh = cfg.score_thresh if score_thresh is None else score_thresh
@@ -415,7 +470,7 @@ def postprocess_detections(
     boxes = coder.decode(box_deltas, anchors)
     boxes = clip_boxes_to_image(boxes, image_shape)
 
-    probs = jax.nn.sigmoid(box_logits.astype(jnp.float32)).reshape(-1)  # [A*C]
+    probs = probs_fg.reshape(-1)  # [A*C]
     top_probs, top_idx = jax.lax.top_k(probs, topk)
     anchor_idx = top_idx // c
     top_labels = (top_idx % c).astype(jnp.int32)

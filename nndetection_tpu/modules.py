@@ -34,6 +34,49 @@ class RetinaUNetV001(BaseModule):
     }
 
 
+@MODULE_REGISTRY.register(name="RetinaUNetV000")
+class RetinaUNetV000(BaseModule):
+    """The reference's *base* wiring (``ptmodule/retinaunet/base.py:74-86``):
+    IoU matcher + class-weighted softmax-CE classifier + smooth-L1 regressor
+    + HNM + multi-class DiCE segmenter. ``class_weights`` flow in from the
+    plan (frequency-balanced, ``architecture/boxes/base.py:228-248``)."""
+
+    config_overrides = {
+        "matcher_type": "iou",
+        "cls_loss_type": "ce",
+        "reg_loss_type": "l1",
+        "segmenter_fg_bg": False,
+    }
+
+
+@MODULE_REGISTRY.register(name="RetinaUNetV001RegAll")
+class RetinaUNetV001RegAll(BaseModule):
+    """V001 ablation: regression over ALL positives instead of the HNM-sampled
+    subset (reference ``DetectionHeadHNMNativeRegAll``, ``comb.py:408-466``)."""
+
+    config_overrides = {
+        "matcher_type": "atss",
+        "cls_loss_type": "bce",
+        "reg_loss_type": "giou",
+        "segmenter_fg_bg": True,
+        "head_type": "hnm_reg_all",
+    }
+
+
+@MODULE_REGISTRY.register(name="RetinaUNetV001NoSampler")
+class RetinaUNetV001NoSampler(BaseModule):
+    """V001 ablation without hard-negative mining: every non-ignore anchor in
+    the classification loss (reference ``BoxHeadNoSampler``, ``comb.py:279-348``)."""
+
+    config_overrides = {
+        "matcher_type": "atss",
+        "cls_loss_type": "bce",
+        "reg_loss_type": "giou",
+        "segmenter_fg_bg": True,
+        "head_type": "no_sampler",
+    }
+
+
 @MODULE_REGISTRY.register(name="RetinaUNetV002")
 class RetinaUNetV002(BaseModule):
     """Focal-loss variant (no label smoothing), ATSS + GIoU."""

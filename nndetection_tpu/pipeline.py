@@ -13,7 +13,11 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
+from nndetection_tpu.data.augment import (
+    AugmentConfig,
+    generator_patch_size_for,
+    get_generator_patch_size,
+)
 from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
 from nndetection_tpu.data.loader import PatchLoader, PrefetchIterator, build_case_records
 from nndetection_tpu.data.preprocess import (
@@ -160,6 +164,7 @@ def build_loaders(
     oversample: float = 0.5,
     augment: bool = True,
     seed: int = 0,
+    aug_cfg: Optional[AugmentConfig] = None,
 ):
     records = build_case_records(image_dir)
     by_id = {r.case_id: r for r in records}
@@ -169,9 +174,12 @@ def build_loaders(
     else:
         train_ids = [c for c in splits[fold]["train"] if c in by_id]
         val_ids = [c for c in splits[fold]["val"] if c in by_id]
-    gen_patch = (
-        get_generator_patch_size(plan.patch_size) if augment else tuple(plan.patch_size)
-    )
+    if not augment:
+        gen_patch = tuple(plan.patch_size)
+    elif aug_cfg is not None:
+        gen_patch = generator_patch_size_for(aug_cfg)
+    else:
+        gen_patch = get_generator_patch_size(plan.patch_size)
     train_loader = PatchLoader(
         [by_id[c] for c in train_ids],
         patch_size=gen_patch,
@@ -240,7 +248,10 @@ def run_train(
     from nndetection_tpu.data.aug_presets import get_augmentation
 
     aug_cfg = get_augmentation(
-        augmentation if augment else "no_aug", tuple(plan.patch_size)
+        augmentation if augment else "no_aug",
+        tuple(plan.patch_size),
+        dummy_2d=plan.do_dummy_2d,
+        mask_norm_zero=plan.use_nonzero_mask,
     )
     trainer = Trainer(model_cfg, tcfg, output_dir=out_dir, augment_cfg=aug_cfg)
     train_loader, val_loader = build_loaders(
@@ -252,6 +263,7 @@ def run_train(
         oversample=oversample,
         augment=augment,
         seed=tcfg.seed + fold,
+        aug_cfg=aug_cfg if augment else None,
     )
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
 

@@ -64,6 +64,13 @@ class Plan:
     mem_estimate_bytes: int = 0
     requires_lowres: bool = False
 
+    @property
+    def do_dummy_2d(self) -> bool:
+        """Anisotropic patches trigger dummy-2D augmentation (reference
+        ``experiment/base.py:242``: ``max(patch)/min(patch) > 3``)."""
+        ps = list(self.patch_size)
+        return bool(max(ps) / max(min(ps), 1) > 3)
+
     def model_config(self, **overrides) -> RetinaUNetConfig:
         """Materialize the architecture config for this plan."""
         kw = dict(
@@ -82,6 +89,7 @@ class Plan:
             anchor_width=tuple(tuple(w) for w in self.anchors["width"]),
             anchor_height=tuple(tuple(h) for h in self.anchors["height"]),
             anchor_depth=tuple(tuple(d) for d in self.anchors["depth"]),
+            class_weights=tuple(self.class_weights) if self.class_weights else None,
         )
         kw.update(overrides)
         return RetinaUNetConfig(**kw)
@@ -269,13 +277,17 @@ class Planner:
         ]
         max_inst = int(min(max(np.percentile(counts, 99) if counts else 8, 8), 64))
 
-        # class weights (frequency-balanced, ``base.py:228-248``)
+        # class weights (frequency-balanced, reference formula
+        # ``architecture/boxes/base.py:228-248``: background gets 1/(C+1),
+        # foreground class i gets (1 - 1/(C+1)) * (1 - n_i / n_all))
         classes = np.asarray(dataset_properties.get("instance_classes", []))
         weights = None
         if len(classes):
             counts_c = np.bincount(classes.astype(int), minlength=info.num_classes)
-            inv = 1.0 / np.maximum(counts_c, 1)
-            weights = (inv / inv.sum() * len(counts_c)).tolist()
+            n_all = max(int(counts_c.sum()), 1)
+            bg_weight = 1.0 / (len(counts_c) + 1)
+            fg = (1.0 - bg_weight) * (1.0 - counts_c / n_all)
+            weights = [bg_weight] + fg.tolist()
 
         # low-res stage trigger (``v001.py:186-210``)
         requires_lowres = False

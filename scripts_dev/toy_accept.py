@@ -1,9 +1,18 @@
 """Toy-dataset acceptance run on real hardware (reference README.md:163-175:
 "the final results should be near perfect").
 
-Generates a mid-size synthetic task, runs prep -> train (fold 0) ->
-consolidate -> predict -> evaluate through the actual pipeline and prints the
-final AP metrics.
+Generates a synthetic task matching the reference's ``nndet_example``
+semantics (``/root/reference/scripts/generate_example.py:43-98``: noise
+volumes, one bright solid or hollow cube per case, 2 classes), runs
+prep -> train (fold 0) -> consolidate -> predict -> evaluate through the
+actual pipeline and prints + saves the final AP metrics.
+
+Scale is env-tunable:
+    TOY_NUM_TRAIN / TOY_NUM_TEST   dataset size          (default 16 / 8)
+    TOY_IMAGE_SIZE                 cubic image edge      (default 128)
+    TOY_EPOCHS / TOY_STEPS         training length       (default 20 / 150)
+    TOY_OUT                        result json artifact  (default
+                                   artifacts/toy_accept.json in the repo)
 """
 import json
 import os
@@ -13,7 +22,8 @@ from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 from nndetection_tpu.data.example import generate_example_dataset
 from nndetection_tpu.pipeline import (
@@ -33,19 +43,27 @@ def log(msg):
 
 
 def main():
-    root = Path("/tmp/toy_accept")
+    root = Path(os.environ.get("TOY_ROOT", "/tmp/toy_accept"))
+    num_train = int(os.environ.get("TOY_NUM_TRAIN", 16))
+    num_test = int(os.environ.get("TOY_NUM_TEST", 8))
+    edge = int(os.environ.get("TOY_IMAGE_SIZE", 128))
+    epochs = int(os.environ.get("TOY_EPOCHS", 20))
+    steps = int(os.environ.get("TOY_STEPS", 150))
+    out_json = Path(os.environ.get("TOY_OUT", REPO / "artifacts" / "toy_accept.json"))
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
     task = generate_example_dataset(
         root / "Task000D3_Example",
-        num_train=12,
-        num_test=4,
-        image_size=(64, 64, 64),
-        object_size=(10, 20),
-        object_width=3,
+        num_train=num_train,
+        num_test=num_test,
+        image_size=(edge, edge, edge),
+        # reference scale: object 16-32 voxels, hollow wall 4 (generate_example.py:43-46)
+        object_size=(16, 32),
+        object_width=4,
     )
-    log("dataset generated")
+    log(f"dataset generated: {num_train}+{num_test} cases @ {edge}^3")
     plan = run_prep(task, planner=Planner(anchor_budget=600))
     log(
         f"prep done: patch={plan.patch_size} batch={plan.batch_size} "
@@ -53,11 +71,9 @@ def main():
     )
 
     model_dir = root / "models" / task.name / "RetinaUNetV001_D3V001_3d"
-    epochs = int(os.environ.get("TOY_EPOCHS", 4))
-    steps = int(os.environ.get("TOY_STEPS", 75))
 
     def log_fn(epoch, metrics):
-        keys = ("train_total", "mAP_IoU_0.10_0.50_0.05_MaxDet_100")
+        keys = ("train_total", "val_total", "mAP_IoU_0.10_0.50_0.05_MaxDet_100")
         log(f"epoch {epoch}: " + " ".join(
             f"{k}={metrics[k]:.4f}" for k in keys if k in metrics))
 
@@ -69,8 +85,8 @@ def main():
             max_epochs=epochs,
             num_train_batches_per_epoch=steps,
             num_val_batches_per_epoch=6,
-            warm_iterations=40,
-            swa_epochs=1,
+            warm_iterations=min(200, epochs * steps // 10),
+            swa_epochs=max(1, epochs // 10),
         ),
         log_fn=log_fn,
     )
@@ -82,6 +98,18 @@ def main():
     scores, _ = run_evaluate(task, pred_dir)
     ap_keys = {k: v for k, v in scores.items() if "AP" in k or "FROC" in k}
     log("RESULTS " + json.dumps(ap_keys))
+    out_json.parent.mkdir(parents=True, exist_ok=True)
+    out_json.write_text(json.dumps({
+        "config": {
+            "num_train": num_train, "num_test": num_test, "image_size": edge,
+            "epochs": epochs, "steps_per_epoch": steps,
+            "patch_size": list(plan.patch_size), "batch_size": plan.batch_size,
+        },
+        "wall_clock_s": round(time.time() - T0, 1),
+        "metrics": {k: float(v) for k, v in scores.items()
+                    if isinstance(v, (int, float))},
+    }, indent=2))
+    log(f"wrote {out_json}")
 
 
 if __name__ == "__main__":

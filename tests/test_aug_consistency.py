@@ -97,3 +97,90 @@ class TestAugConsistency:
         assert (inside > 1.0).all()
         # semantic seg consistent with class table (class 1 -> semantic 2)
         assert np.asarray(out["seg"]).max() == 2
+
+
+class TestElasticDummy2DMask:
+    """Round-2 parity features: elastic deformation, dummy-2D anisotropic
+    mode, mask-norm zeroing (reference ``bg_aug.py:68-90,144-146`` +
+    ``MaskTransform``)."""
+
+    def _cfg(self, patch, **kw):
+        base = dict(
+            patch_size=patch,
+            p_rotation=0.0, p_scale=0.0, p_noise=0.0, p_blur=0.0,
+            p_brightness=0.0, p_contrast=0.0, p_lowres=0.0, p_gamma=0.0,
+            mirror_axes=(),
+        )
+        base.update(kw)
+        return AugmentConfig(**base)
+
+    def test_elastic_deforms_and_preserves_consistency(self, rng):
+        patch = (20, 20, 20)
+        cfg = self._cfg(patch, p_elastic=1.0, elastic_alpha=(500.0, 900.0))
+        gen = tuple(int(p) for p in patch)
+        c = tuple(g // 2 for g in gen)
+        data, seg = make_case(rng, gen, [x - 5 for x in c], [x + 5 for x in c])
+        d, s = augment_batch(
+            jax.random.PRNGKey(3), jnp.asarray(data), jnp.asarray(seg), cfg
+        )
+        d, s = np.asarray(d), np.asarray(s)
+        assert np.isfinite(d).all()
+        # strong elastic must actually move labels
+        assert (s[0] != seg[0]).mean() > 0.01
+        # data/seg stay consistent: bright voxels still coincide with label 1
+        bright = d[0, ..., 0] > 1.0
+        if bright.sum() > 50:
+            assert (s[0][bright] == 1).mean() > 0.85
+
+    def test_elastic_off_is_identity_of_affine_path(self, rng):
+        patch = (16, 16, 16)
+        cfg0 = self._cfg(patch, p_elastic=0.0, use_mxu_resample=False)
+        gen = patch
+        data, seg = make_case(rng, gen, (5, 5, 5), (11, 11, 11))
+        d0, s0 = augment_batch(
+            jax.random.PRNGKey(0), jnp.asarray(data), jnp.asarray(seg), cfg0
+        )
+        # identity transform: data returned unchanged
+        np.testing.assert_allclose(np.asarray(d0), data, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(s0), seg)
+
+    def test_dummy_2d_leaves_axis0_unmixed(self, rng):
+        """With in-plane-only transforms, a volume that varies ONLY along
+        axis 0 is reproduced exactly (up to borders)."""
+        patch = (12, 24, 24)
+        for use_mxu in (True, False):
+            cfg = self._cfg(
+                patch, dummy_2d=True, p_rotation=1.0, rotation_deg=180.0,
+                p_scale=1.0, scale_range=(0.9, 1.1), use_mxu_resample=use_mxu,
+            )
+            from nndetection_tpu.data.augment import generator_patch_size_for
+
+            gen = generator_patch_size_for(cfg)
+            assert gen[0] == patch[0], "dummy-2D must not enlarge axis 0"
+            ramp = np.arange(gen[0], dtype=np.float32)
+            data = np.tile(
+                ramp[None, :, None, None, None], (1, 1, gen[1], gen[2], 1)
+            )
+            seg = np.zeros((1, *gen), np.int32)
+            d, _ = augment_batch(
+                jax.random.PRNGKey(1), jnp.asarray(data), jnp.asarray(seg), cfg
+            )
+            d = np.asarray(d, np.float32)[0, ..., 0]
+            interior = d[:, 4:-4, 4:-4]
+            expect = np.broadcast_to(
+                ramp[:, None, None], interior.shape
+            )
+            np.testing.assert_allclose(interior, expect, atol=0.05)
+
+    def test_mask_norm_zeroing(self, rng):
+        patch = (12, 12, 12)
+        cfg = self._cfg(patch, mask_norm_zero=True)
+        data = np.full((1, *patch, 1), 5.0, np.float32)
+        seg = np.zeros((1, *patch), np.int32)
+        seg[:, :4] = -1  # outside nonzero mask
+        d, s = augment_batch(
+            jax.random.PRNGKey(0), jnp.asarray(data), jnp.asarray(seg), cfg
+        )
+        d = np.asarray(d)[0, ..., 0]
+        assert np.all(d[:4] == 0.0)
+        assert np.all(d[4:] == 5.0)

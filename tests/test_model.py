@@ -168,3 +168,65 @@ class TestPostprocess:
         images = jnp.zeros((1, *cfg.patch_size, cfg.in_channels), jnp.float32)
         out = infer(params, images)
         assert out["boxes"].shape[1] == cfg.detections_per_img
+
+
+class TestHeadVariants:
+    """CE classifier + detection-head loss variants (reference
+    ``classifier.py:295-366``, ``comb.py:279-530``)."""
+
+    def _losses(self, cfg, np_rng, gt_classes=None):
+        model = RetinaUNet(cfg)
+        batch = make_batch(cfg, np_rng)
+        if gt_classes is not None:
+            batch["gt_classes"] = jnp.asarray(gt_classes)
+        params = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+        preds = model.apply(params, batch["images"])
+        anchors_np, per_level = cfg.anchors()
+        return preds, train_step_loss(
+            cfg, preds, jnp.asarray(anchors_np), per_level, batch,
+            jax.random.PRNGKey(1),
+        )
+
+    def test_ce_classifier_bg_column_and_finite(self, np_rng):
+        cfg = tiny_cfg(cls_loss_type="ce", classifier_classes=2,
+                       class_weights=(1 / 3, 0.5, 0.17))
+        preds, losses = self._losses(cfg, np_rng)
+        anchors_np, _ = cfg.anchors()
+        # softmax head emits C+1 logits (background column)
+        assert preds["box_logits"].shape[-1] == 3
+        assert np.isfinite(float(losses["cls"]))
+        # postprocess drops the background column
+        out = batched_postprocess(cfg, preds, jnp.asarray(anchors_np), cfg.patch_size)
+        assert int(np.asarray(out["labels"]).max()) <= 1
+
+    def test_ce_class_weights_shift_loss(self, np_rng):
+        """Up-weighting the GT class must change the CE loss."""
+        base = tiny_cfg(cls_loss_type="ce", classifier_classes=2)
+        heavy = tiny_cfg(cls_loss_type="ce", classifier_classes=2,
+                         class_weights=(0.01, 10.0, 0.01))
+        gt_classes = np.ones((2, 3), np.int32)  # all instances class 1 (fg idx 1)
+        _, l0 = self._losses(base, np_rng, gt_classes)
+        _, l1 = self._losses(heavy, np_rng, gt_classes)
+        assert abs(float(l0["cls"]) - float(l1["cls"])) > 1e-4
+
+    def test_reg_all_uses_all_positives(self, np_rng):
+        """With a tiny sampling budget, RegAll != HNM regression loss."""
+        hnm = tiny_cfg(batch_size_per_image=4, positive_fraction=0.25)
+        regall = tiny_cfg(batch_size_per_image=4, positive_fraction=0.25,
+                          head_type="hnm_reg_all")
+        _, l0 = self._losses(hnm, np_rng)
+        _, l1 = self._losses(regall, np_rng)
+        assert np.isfinite(float(l1["reg"]))
+        # same sampled cls set, different reg pool
+        assert float(l0["num_pos"]) <= float(l1["num_pos"]) or (
+            abs(float(l0["reg"]) - float(l1["reg"])) > 0
+        )
+
+    def test_no_sampler_counts(self, np_rng):
+        cfg = tiny_cfg(head_type="no_sampler")
+        _, losses = self._losses(cfg, np_rng)
+        anchors_np, _ = cfg.anchors()
+        # every anchor is either pos or neg (no ignore in this toy assignment)
+        assert float(losses["num_pos"]) + float(losses["num_neg"]) <= anchors_np.shape[0] * 2
+        assert float(losses["num_neg"]) > cfg.batch_size_per_image * 2
+        assert np.isfinite(float(losses["cls"]))
