@@ -44,6 +44,12 @@ def main() -> None:
     parser.add_argument("--fold", type=int, default=0)
     parser.add_argument("--sweep", action="store_true")
     parser.add_argument("--no_aug", action="store_true")
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue from fold's model_last.ckpt "
+        "(reference train.mode=resume, scripts/train.py:154-163)",
+    )
     args = parser.parse_args()
     cfg = compose(overrides=args.overrides)
 
@@ -74,6 +80,7 @@ def main() -> None:
             cfg, "augment_cfg.oversample_foreground_percent", 0.5
         ),
         log_fn=log_fn,
+        resume=args.resume,
     )
     save_json(metrics_log, out_dir / "metrics.json")
     if args.sweep:

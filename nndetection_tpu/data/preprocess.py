@@ -201,9 +201,24 @@ def process_case(
     spacing = np.asarray(props["original_spacing"], dtype=np.float64)[tf]
     target = np.asarray(target_spacing, dtype=np.float64)
 
-    # GT boxes in ORIGINAL (transposed) space for eval restore checks
+    # GT boxes in ORIGINAL image space (untransposed, uncropped voxel grid) —
+    # the space ``restore_detection`` maps predictions back to (reference
+    # exports GT in both spaces, ``nndet/planning/experiment/utils.py``)
     boxes_orig, ids_orig = instances_to_boxes_np(seg)
     classes_orig = np.asarray([instances.get(i, 0) for i in ids_orig], np.int64)
+    if len(boxes_orig):
+        from nndetection_tpu.core.boxes.ops_np import permute_boxes_np
+        from nndetection_tpu.inference.restore import invert_transpose
+
+        boxes_orig = permute_boxes_np(
+            boxes_orig.astype(np.float64), invert_transpose(tf)
+        )
+        crop_bbox = props.get("crop_bbox")
+        if crop_bbox is not None:
+            lo = np.asarray([c[0] for c in crop_bbox], dtype=np.float64)
+            dim = boxes_orig.shape[1] // 2
+            off = np.asarray([lo[0], lo[1], lo[0], lo[1], lo[2], lo[2]][: 2 * dim])
+            boxes_orig = boxes_orig + off[None]
 
     data_r, seg_r = resample_patient(data, seg, spacing, target)
     nonzero = seg_r != -1

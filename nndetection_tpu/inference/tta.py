@@ -58,3 +58,24 @@ def invert_boxes(
 def invert_seg(seg: np.ndarray, flips: Sequence[int], spatial_offset: int = 1):
     """Inverse mirror for segmentation maps (self-inverse)."""
     return flip_image(seg, flips, spatial_offset)
+
+
+def invert_boxes_jnp(boxes, flips: Sequence[int], patch_size: Sequence[int]):
+    """Jit-friendly :func:`invert_boxes`: the per-axis lo/hi swap + offset is
+    precomputed as a static (permutation, sign, offset) triple so the traced op
+    is one gather + multiply-add over the box columns."""
+    import jax.numpy as jnp
+
+    dim = len(patch_size)
+    n_cols = 2 * dim
+    lo_idx = {0: 0, 1: 1, 2: 4}
+    hi_idx = {0: 2, 1: 3, 2: 5}
+    perm = np.arange(n_cols)
+    sign = np.ones(n_cols, np.float32)
+    offset = np.zeros(n_cols, np.float32)
+    for a in flips:
+        lo, hi = lo_idx[a], hi_idx[a]
+        perm[lo], perm[hi] = hi, lo
+        sign[lo] = sign[hi] = -1.0
+        offset[lo] = offset[hi] = float(patch_size[a])
+    return boxes[..., perm] * jnp.asarray(sign) + jnp.asarray(offset)

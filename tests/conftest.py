@@ -28,6 +28,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Files whose tests jit-compile full models / run training loops; they are
+# deselected by default (pyproject addopts `-m "not slow"`) and run with
+# `pytest -m slow` so the default suite stays fast on this 1-core host.
+_SLOW_FILES = {
+    "test_e2e.py",
+    "test_trainer.py",
+    "test_model.py",
+    "test_aug_consistency.py",
+    "test_deep_supervision.py",
+    "test_spatial.py",
+    "test_2d.py",
+    "test_decoder_variants.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    for item in items:
+        if pathlib.Path(str(item.fspath)).name in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)
