@@ -98,6 +98,14 @@ class SELayer(nn.Module):
         c = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
         s = jnp.mean(x.astype(jnp.float32), axis=axes)
+        from nndetection_tpu.parallel.spatial import get_spatial_axis
+
+        ax = get_spatial_axis()
+        if ax is not None:
+            # squeeze spans the global volume under spatial partitioning
+            import jax
+
+            s = jax.lax.pmean(s, ax)
         s = nn.Dense(max(1, c // self.reduction), dtype=self.dtype, param_dtype=jnp.float32)(s)
         s = nn.relu(s)
         s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)

@@ -10,11 +10,19 @@ Conv+GroupNorm+ReLU (heads); norm/act are toggleable exactly like
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from nndetection_tpu.parallel.spatial import (
+    get_spatial_axis,
+    spatial_conv,
+    spatial_group_norm,
+    spatial_instance_norm,
+    spatial_transposed_conv,
+)
 
 Kernel = Union[int, Sequence[int]]
 
@@ -23,6 +31,93 @@ def _to_tuple(k: Kernel, dim: int) -> Tuple[int, ...]:
     if isinstance(k, int):
         return (k,) * dim
     return tuple(int(v) for v in k)
+
+
+class SpatialConvModule(nn.Module):
+    """Halo-exchange conv, parameter-compatible with ``nn.Conv`` (same
+    ``kernel``/``bias`` names, same ``[*k, C_in, C_out]`` layout and inits) so
+    checkpoints move freely between sharded and unsharded execution. Used by
+    the conv factory when a :func:`spatial_partitioning` context is active."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.he_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.bfloat16
+    axis_name: str = "model"
+    transposed: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = tuple(self.kernel_size)
+        # both nn.Conv and nn.ConvTranspose use the [*k, C_in, C_out] layout
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        fn = spatial_transposed_conv if self.transposed else spatial_conv
+        return fn(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias=bias.astype(self.dtype) if bias is not None else None,
+            strides=self.strides,
+            axis_name=self.axis_name,
+        )
+
+
+def conv_layer(
+    features: int,
+    kernel_size: Kernel,
+    strides: Kernel = 1,
+    dim: int = 3,
+    use_bias: bool = True,
+    kernel_init: Callable = nn.initializers.he_normal(),
+    bias_init: Callable = nn.initializers.zeros,
+    dtype: Any = jnp.bfloat16,
+    transposed: bool = False,
+    name: Optional[str] = None,
+):
+    """Conv factory: ``nn.Conv``/``nn.ConvTranspose`` normally; halo-exchange
+    spatial equivalents when tracing inside :func:`spatial_partitioning`.
+    Explicit flax default names keep the parameter tree identical."""
+    k = _to_tuple(kernel_size, dim)
+    s = _to_tuple(strides, dim)
+    ax = get_spatial_axis()
+    if ax is not None and dim == 3:
+        return SpatialConvModule(
+            features=features,
+            kernel_size=k,
+            strides=s,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=dtype,
+            axis_name=ax,
+            transposed=transposed,
+            name=name,
+        )
+    cls = nn.ConvTranspose if transposed else nn.Conv
+    return cls(
+        features=features,
+        kernel_size=k,
+        strides=s,
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
 
 
 class InstanceNorm(nn.Module):
@@ -47,6 +142,23 @@ class InstanceNorm(nn.Module):
         # high-mean/low-variance activations and produced rsqrt blow-ups —
         # with the subtraction fused in the compute dtype and the square
         # accumulated in f32.
+        ax = get_spatial_axis()
+        if ax is not None:
+            # spatially-partitioned volume: statistics must span the GLOBAL
+            # volume — combine per-shard f32 sums with one psum pair
+            gamma = (
+                self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+                if self.use_scale
+                else None
+            )
+            beta = (
+                self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+                if self.use_bias
+                else None
+            )
+            return spatial_instance_norm(
+                x, scale=gamma, bias=beta, epsilon=self.epsilon, axis_name=ax
+            ).astype(self.dtype)
         mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
         diff = x - mean.astype(x.dtype)
         var = jnp.mean(jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32)
@@ -78,6 +190,19 @@ class GroupNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         groups = max(1, c // self.channels_per_group)
+        ax = get_spatial_axis()
+        if ax is not None:
+            # parameter-compatible child (same "GroupNorm_0" path and
+            # scale/bias names as flax's nn.GroupNorm) with global statistics
+            y = _SpatialGroupNorm(
+                num_groups=groups,
+                epsilon=self.epsilon,
+                use_scale=self.use_scale,
+                use_bias=self.use_bias,
+                axis_name=ax,
+                name="GroupNorm_0",
+            )(x)
+            return y.astype(self.dtype)
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,
@@ -87,6 +212,36 @@ class GroupNorm(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         return y.astype(self.dtype)
+
+
+class _SpatialGroupNorm(nn.Module):
+    num_groups: int
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    axis_name: str = "model"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = (
+            self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            if self.use_scale
+            else None
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return spatial_group_norm(
+            x,
+            self.num_groups,
+            scale=scale,
+            bias=bias,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+        )
 
 
 class ConvNormAct(nn.Module):
@@ -109,16 +264,16 @@ class ConvNormAct(nn.Module):
         k = _to_tuple(self.kernel_size, self.dim)
         s = _to_tuple(self.strides, self.dim)
         use_bias = self.norm is None
-        conv_cls = nn.ConvTranspose if self.transposed else nn.Conv
-        x = conv_cls(
+        x = conv_layer(
             features=self.out_channels,
             kernel_size=k,
             strides=s,
-            padding="SAME" if not self.transposed else "SAME",
+            dim=self.dim,
             use_bias=use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.he_normal(),
+            transposed=self.transposed,
+            # flax's auto-names, so sharded/unsharded param trees match
+            name="ConvTranspose_0" if self.transposed else "Conv_0",
         )(x)
         if self.norm == "instance":
             x = InstanceNorm(

@@ -20,7 +20,20 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nndetection_tpu.models.conv import ConvNormAct
+from nndetection_tpu.models.conv import ConvNormAct, conv_layer
+from nndetection_tpu.parallel.spatial import gather_spatial, get_spatial_axis
+
+
+def _level_flat_gather(y: jnp.ndarray) -> jnp.ndarray:
+    """Under spatial partitioning, all-gather a level's flattened
+    ``[N, A_local, C]`` output into the global anchor ordering. The anchor
+    grid is z-major and the volume is sharded along z, so each shard's
+    flattened block is a contiguous slice of the global order — a tiled
+    all-gather along axis 1 reproduces it exactly."""
+    ax = get_spatial_axis()
+    if ax is None:
+        return y
+    return gather_spatial(y, axis_name=ax, spatial_axis=1)
 
 
 class ConvTower(nn.Module):
@@ -78,22 +91,21 @@ class Classifier(nn.Module):
         if self.prior_prob is not None:
             bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
             bias_init = nn.initializers.constant(bias_value)
-        out_conv = nn.Conv(
+        out_conv = conv_layer(
             features=self.anchors_per_pos * self.num_classes,
-            kernel_size=(3,) * self.dim,
-            padding="SAME",
+            kernel_size=3,
+            dim=self.dim,
             use_bias=True,
             bias_init=bias_init,
             kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="out",
         )
         logits = []
         for fm in fmaps:
             y = out_conv(tower(fm))
             n = y.shape[0]
-            logits.append(y.reshape(n, -1, self.num_classes))
+            logits.append(_level_flat_gather(y.reshape(n, -1, self.num_classes)))
         return jnp.concatenate(logits, axis=1)  # [N, A_total, C]
 
 
@@ -121,14 +133,13 @@ class Regressor(nn.Module):
             dtype=self.dtype,
             name="tower",
         )
-        out_conv = nn.Conv(
+        out_conv = conv_layer(
             features=self.anchors_per_pos * 2 * self.dim,
-            kernel_size=(3,) * self.dim,
-            padding="SAME",
+            kernel_size=3,
+            dim=self.dim,
             use_bias=True,
             kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="out",
         )
         if self.learn_scale:
@@ -141,7 +152,7 @@ class Regressor(nn.Module):
             if self.learn_scale:
                 y = y * scales[level].astype(y.dtype)
             n = y.shape[0]
-            deltas.append(y.reshape(n, -1, 2 * self.dim))
+            deltas.append(_level_flat_gather(y.reshape(n, -1, 2 * self.dim)))
         return jnp.concatenate(deltas, axis=1)  # [N, A_total, 2*dim]
 
 

@@ -212,6 +212,20 @@ class RetinaUNet(nn.Module):
             "box_logits": box_logits.astype(jnp.float32),
             "box_deltas": box_deltas.astype(jnp.float32),
         }
+        from nndetection_tpu.parallel.spatial import (
+            gather_spatial,
+            get_spatial_axis,
+        )
+
+        spatial_ax = get_spatial_axis()
+
+        def _gather_seg(s):
+            # under spatial partitioning the seg loss runs on the full map:
+            # all-gather the z-shards back (axis 1 = leading spatial axis)
+            if spatial_ax is None:
+                return s
+            return gather_spatial(s, axis_name=spatial_ax, spatial_axis=1)
+
         if cfg.segmenter_deep_supervision:
             from nndetection_tpu.models.heads import DeepSupervisionSegmenter
 
@@ -222,16 +236,18 @@ class RetinaUNet(nn.Module):
                 dtype=dtype,
                 name="segmenter",
             )(decoded)
-            out["seg_logits"] = seg_list[0].astype(jnp.float32)
+            out["seg_logits"] = _gather_seg(seg_list[0]).astype(jnp.float32)
             for i, s in enumerate(seg_list[1:], start=1):
-                out[f"seg_logits_aux{i}"] = s.astype(jnp.float32)
+                out[f"seg_logits_aux{i}"] = _gather_seg(s).astype(jnp.float32)
         else:
-            out["seg_logits"] = Segmenter(
-                seg_classes=seg_cls,
-                dim=cfg.dim,
-                dtype=dtype,
-                name="segmenter",
-            )(decoded).astype(jnp.float32)
+            out["seg_logits"] = _gather_seg(
+                Segmenter(
+                    seg_classes=seg_cls,
+                    dim=cfg.dim,
+                    dtype=dtype,
+                    name="segmenter",
+                )(decoded)
+            ).astype(jnp.float32)
         return out
 
 

@@ -19,6 +19,7 @@ equivalence proofs against unsharded convolutions on a CPU mesh.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -29,6 +30,33 @@ from jax import lax
 
 def _axis_size(axis_name: str) -> int:
     return lax.axis_size(axis_name)
+
+
+# ---------------------------------------------------------------------------
+# spatial-partitioning context: which mesh axis (if any) the volume's leading
+# spatial dimension is sharded over. The model modules consult this at trace
+# time, so the SAME flax module tree (same parameter names, checkpoint
+# compatible) traces to halo-exchange collectives when tracing happens inside
+# the context — e.g. from the trainer's shard_map body.
+# ---------------------------------------------------------------------------
+_SPATIAL_AXIS: Optional[str] = None
+
+
+def get_spatial_axis() -> Optional[str]:
+    return _SPATIAL_AXIS
+
+
+@contextmanager
+def spatial_partitioning(axis_name: str = "model"):
+    """While active, model tracing emits spatially-partitioned ops (halo
+    convs, psum norms, per-level all-gathers) over ``axis_name``."""
+    global _SPATIAL_AXIS
+    prev = _SPATIAL_AXIS
+    _SPATIAL_AXIS = axis_name
+    try:
+        yield
+    finally:
+        _SPATIAL_AXIS = prev
 
 
 def halo_exchange(
@@ -205,6 +233,42 @@ def spatial_instance_norm(
     if bias is not None:
         shift = shift + bias
     return (x * out_scale.astype(x.dtype) + shift.astype(x.dtype)).astype(x.dtype)
+
+
+def spatial_group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    epsilon: float = 1e-5,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Group norm whose statistics span the GLOBAL volume (the heads'
+    GroupNorm under spatial partitioning): per-shard f32 sums over
+    (spatial, channels-in-group) are combined with one ``psum`` pair."""
+    c = x.shape[-1]
+    group_c = c // num_groups
+    orig_shape = x.shape
+    xg = x.reshape(*x.shape[:-1], num_groups, group_c)
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)  # spatial + in-group
+    n_local = group_c
+    for a in range(1, xg.ndim - 2):
+        n_local *= xg.shape[a]
+    n_global = n_local * _axis_size(axis_name)
+    s1 = jnp.sum(xg, axis=axes, keepdims=True, dtype=jnp.float32)
+    mean = lax.psum(s1, axis_name) / n_global
+    diff = xg - mean.astype(xg.dtype)
+    s2 = jnp.sum(
+        jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32
+    )
+    var = lax.psum(s2, axis_name) / n_global
+    inv = jax.lax.rsqrt(var + epsilon)
+    y = (diff * inv.astype(xg.dtype)).reshape(orig_shape)
+    if scale is not None:
+        y = y * scale.astype(y.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
 
 
 def spatial_max_pool(

@@ -113,22 +113,28 @@ def analytic_estimate(
     )
 
 
-def compile_estimate(train_step_fn, sample_args) -> Optional[MemoryEstimate]:
+def compile_estimate(
+    train_step_fn, sample_args, donate_argnums=()
+) -> Optional[MemoryEstimate]:
     """Exact XLA memory analysis of a jitted train step. Returns None when the
     backend does not expose the analysis (e.g. CPU)."""
     import jax
 
     try:
-        lowered = jax.jit(train_step_fn).lower(*sample_args)
+        lowered = jax.jit(train_step_fn, donate_argnums=donate_argnums).lower(
+            *sample_args
+        )
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
         if ma is None:
             return None
+        # peak = args + outputs + temps, minus buffers aliased by donation
+        # (donated inputs are reused as outputs, not live twice)
         total = int(
             getattr(ma, "temp_size_in_bytes", 0)
             + getattr(ma, "argument_size_in_bytes", 0)
             + getattr(ma, "output_size_in_bytes", 0)
-            + getattr(ma, "alias_size_in_bytes", 0)
+            - getattr(ma, "alias_size_in_bytes", 0)
         )
         return MemoryEstimate(
             total_bytes=total,
@@ -137,6 +143,73 @@ def compile_estimate(train_step_fn, sample_args) -> Optional[MemoryEstimate]:
                 "args": int(getattr(ma, "argument_size_in_bytes", 0)),
                 "out": int(getattr(ma, "output_size_in_bytes", 0)),
             },
+        )
+    except Exception:  # noqa: BLE001 — estimation must never break planning
+        return None
+
+
+def probe_train_step_estimate(
+    model_cfg, batch_size: int, max_instances: int = 32
+) -> Optional[MemoryEstimate]:
+    """Compile the candidate architecture's ACTUAL train step (forward + loss
+    + grads + SGD update) against abstract inputs and return XLA's memory
+    analysis — the TPU-native replacement for the reference's live 10-step
+    VRAM probe (``/root/reference/nndet/planning/estimator.py:107-258``).
+
+    ``jax.jit(...).lower`` accepts ``ShapeDtypeStruct``s, so no real buffers
+    are allocated; the cost is one (remote, on TPU) compile per call. State
+    args are donated to match the real trainer's aliasing, so the analysis
+    reflects the true peak. Returns ``None`` when the backend exposes no
+    memory analysis (e.g. CPU) or the probe fails.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nndetection_tpu.models.retina_unet import RetinaUNet, train_step_loss
+
+    try:
+        model = RetinaUNet(model_cfg)
+        anchors_np, per_level = model_cfg.anchors()
+        tx = optax.chain(
+            optax.clip_by_global_norm(12.0),
+            optax.sgd(0.01, momentum=0.9, nesterov=True),
+        )
+
+        def step(params, opt_state, batch, anchors, key):
+            def loss_fn(p):
+                preds = model.apply(p, batch["images"])
+                losses = train_step_loss(
+                    model_cfg, preds, anchors, per_level, batch, key
+                )
+                return (
+                    losses["cls"]
+                    + losses["reg"]
+                    + losses["seg_ce"]
+                    + losses["seg_dice"]
+                )
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        ps = tuple(model_cfg.patch_size)
+        g = int(max_instances)
+        sd = jax.ShapeDtypeStruct
+        sample = sd((1, *ps, model_cfg.in_channels), jnp.float32)
+        key = sd((2,), jnp.uint32)
+        params = jax.eval_shape(model.init, key, sample)
+        opt_state = jax.eval_shape(tx.init, params)
+        batch = {
+            "images": sd((batch_size, *ps, model_cfg.in_channels), jnp.float32),
+            "gt_boxes": sd((batch_size, g, 2 * model_cfg.dim), jnp.float32),
+            "gt_classes": sd((batch_size, g), jnp.int32),
+            "gt_mask": sd((batch_size, g), jnp.bool_),
+            "seg": sd((batch_size, *ps), jnp.int32),
+        }
+        anchors = sd(anchors_np.shape, jnp.float32)
+        return compile_estimate(
+            step, (params, opt_state, batch, anchors, key), donate_argnums=(0, 1)
         )
     except Exception:  # noqa: BLE001 — estimation must never break planning
         return None

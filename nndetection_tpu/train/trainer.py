@@ -35,6 +35,7 @@ from nndetection_tpu.parallel.mesh import (
     replicate_sharding,
     shard_batch,
 )
+from nndetection_tpu.parallel.spatial import spatial_partitioning
 from nndetection_tpu.train.lr import swa_schedule
 from nndetection_tpu.utils.io import save_pickle, load_pickle
 
@@ -142,6 +143,12 @@ class Trainer:
             n_data = math.gcd(trainer_cfg.batch_size, n_dev)
             mesh = make_mesh(n_data=n_data)
         self.mesh = mesh
+        # spatial (model-axis) partitioning: patches too large for one chip
+        # shard their leading spatial axis across mesh axis "model"
+        # (SURVEY.md §2.11 — the capability the reference lacks)
+        self.n_model = int(dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1))
+        if self.n_model > 1:
+            self._check_spatial_shardable(model_cfg, self.n_model)
         self.model = RetinaUNet(model_cfg)
         self.tx, self.schedule = make_optimizer(trainer_cfg)
         self.output_dir = Path(output_dir) if output_dir else None
@@ -176,6 +183,39 @@ class Trainer:
         return jax.device_put(state, rep)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _check_spatial_shardable(cfg: RetinaUNetConfig, n_model: int) -> None:
+        """Every encoder level's z extent must split evenly over the model
+        axis (and stay divisible by the next stride) for halo-exchange convs."""
+        z = int(cfg.patch_size[0])
+        strides_z = [1] + [int(s[0]) for s in cfg.strides]
+        for level, s in enumerate(strides_z):
+            if z % s != 0:
+                raise ValueError(
+                    f"patch z={cfg.patch_size[0]} not divisible by strides at "
+                    f"level {level}"
+                )
+            z //= s
+            if z % n_model != 0:
+                raise ValueError(
+                    f"level-{level} z extent {z} not divisible by model-axis "
+                    f"size {n_model}; choose a patch with more z-divisibility"
+                )
+
+    def _spatial_forward(self, params, images):
+        """Forward under spatial partitioning: each model-axis shard runs the
+        network on its z-slab (halo convs / psum norms / per-level gathers are
+        emitted by the modules); outputs are identical on every shard."""
+        if self.n_model <= 1:
+            return self.model.apply(params, images)
+        idx = jax.lax.axis_index("model")
+        z_local = images.shape[1] // self.n_model
+        local = jax.lax.dynamic_slice_in_dim(
+            images, idx * z_local, z_local, axis=1
+        )
+        with spatial_partitioning("model"):
+            return self.model.apply(params, local)
+
     def _prepare(self, batch, key, train: bool):
         """Raw-batch device pipeline: (augment | center-crop) -> GT prep."""
         if self.augment_cfg is None or "gt_boxes" in batch:
@@ -210,7 +250,7 @@ class Trainer:
             batch = self._prepare(raw_batch, k_aug, train=True)
 
             def loss_fn(params):
-                preds = model.apply(params, batch["images"])
+                preds = self._spatial_forward(params, batch["images"])
                 losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
                 total = (
                     losses["cls"] + losses["reg"] + losses["seg_ce"] + losses["seg_dice"]
@@ -220,8 +260,14 @@ class Trainer:
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            grads = jax.lax.pmean(grads, "data")
-            losses = jax.lax.pmean(dict(losses, total=total), "data")
+            # mean over data shards; under spatial partitioning the loss is
+            # computed redundantly on every model shard, so each activation
+            # path is counted n_model times across the backward passes —
+            # pmean over "model" normalizes this exactly (see
+            # tests/test_spatial.py equivalence proof)
+            grad_axes = ("data", "model") if self.n_model > 1 else "data"
+            grads = jax.lax.pmean(grads, grad_axes)
+            losses = jax.lax.pmean(dict(losses, total=total), grad_axes)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state._replace(
@@ -257,9 +303,11 @@ class Trainer:
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
             k_aug, key = jax.random.split(key)
             batch = self._prepare(raw_batch, k_aug, train=False)
-            preds = model.apply(params, batch["images"])
+            preds = self._spatial_forward(params, batch["images"])
             losses = train_step_loss(cfg, preds, anchors, per_level, batch, key)
-            losses = jax.lax.pmean(losses, "data")
+            losses = jax.lax.pmean(
+                losses, ("data", "model") if self.n_model > 1 else "data"
+            )
             dets = batched_postprocess(cfg, preds, anchors, cfg.patch_size)
             return losses, dets, batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"]
 
@@ -297,7 +345,22 @@ class Trainer:
                 # periodic host sync bounds the dispatch queue depth
                 jax.block_until_ready(losses["total"])
         host_metrics = jax.device_get(metrics)
-        out = {f"train_{k}": float(np.mean(v)) for k, v in host_metrics.items()}
+        # NaN-robust mean: steps with non-finite losses are skipped by the
+        # apply_if_finite guard, so they must not poison the epoch mean either;
+        # their count is reported for observability
+        out = {
+            f"train_{k}": float(np.nanmean(np.where(np.isfinite(v), v, np.nan)))
+            for k, v in host_metrics.items()
+        }
+        totals = np.asarray(host_metrics.get("total", []), np.float64)
+        out["train_nonfinite_steps"] = int(np.sum(~np.isfinite(totals)))
+        # host-memory observability (a 129GB RSS OOM killed a real toy run;
+        # track growth per epoch to catch leaks in the loader/transfer path)
+        try:
+            with open("/proc/self/statm") as f:
+                out["host_rss_gb"] = int(f.read().split()[1]) * 4096 / 1024**3
+        except OSError:
+            pass
         out["epoch_time_s"] = time.time() - t0
         out["steps"] = n
         return state, out

@@ -51,29 +51,40 @@ def main():
     steps = int(os.environ.get("TOY_STEPS", 150))
     out_json = Path(os.environ.get("TOY_OUT", REPO / "artifacts" / "toy_accept.json"))
 
-    import shutil
+    resume = os.environ.get("TOY_RESUME", "") == "1"
+    task = root / "Task000D3_Example"
+    if not resume:
+        import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
-    task = generate_example_dataset(
-        root / "Task000D3_Example",
-        num_train=num_train,
-        num_test=num_test,
-        image_size=(edge, edge, edge),
-        # reference scale: object 16-32 voxels, hollow wall 4 (generate_example.py:43-46)
-        object_size=(16, 32),
-        object_width=4,
-    )
-    log(f"dataset generated: {num_train}+{num_test} cases @ {edge}^3")
-    plan = run_prep(task, planner=Planner(anchor_budget=600))
-    log(
-        f"prep done: patch={plan.patch_size} batch={plan.batch_size} "
-        f"anchors_score={plan.anchor_score:.3f}"
-    )
+        shutil.rmtree(root, ignore_errors=True)
+        task = generate_example_dataset(
+            task,
+            num_train=num_train,
+            num_test=num_test,
+            image_size=(edge, edge, edge),
+            # reference scale: object 16-32 voxels, hollow wall 4 (generate_example.py:43-46)
+            object_size=(16, 32),
+            object_width=4,
+        )
+        log(f"dataset generated: {num_train}+{num_test} cases @ {edge}^3")
+        plan = run_prep(task, planner=Planner(anchor_budget=600))
+        log(
+            f"prep done: patch={plan.patch_size} batch={plan.batch_size} "
+            f"anchors_score={plan.anchor_score:.3f}"
+        )
+    else:
+        from nndetection_tpu.utils.io import load_pickle
+
+        plan = load_pickle(task / "preprocessed" / "D3V001_3d.pkl")
+        log(f"resuming: patch={plan.patch_size} batch={plan.batch_size}")
 
     model_dir = root / "models" / task.name / "RetinaUNetV001_D3V001_3d"
 
     def log_fn(epoch, metrics):
-        keys = ("train_total", "val_total", "mAP_IoU_0.10_0.50_0.05_MaxDet_100")
+        keys = (
+            "train_total", "val_total", "mAP_IoU_0.10_0.50_0.05_MaxDet_100",
+            "train_nonfinite_steps", "host_rss_gb",
+        )
         log(f"epoch {epoch}: " + " ".join(
             f"{k}={metrics[k]:.4f}" for k in keys if k in metrics))
 
@@ -89,6 +100,7 @@ def main():
             swa_epochs=max(1, epochs // 10),
         ),
         log_fn=log_fn,
+        resume=resume,
     )
     log("training done")
     run_consolidate(task, model_dir, num_folds=1)

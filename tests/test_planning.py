@@ -143,3 +143,85 @@ class TestPlanner:
             hbm_budget=big.mem_estimate_bytes // 3, anchor_budget=100
         ).plan_experiment(self._props(rng), info)
         assert np.prod(small.patch_size) < np.prod(big.patch_size)
+
+
+class TestCompileValidate:
+    """The compiled-probe final fit decision (VERDICT r1 #4)."""
+
+    def _arch(self):
+        return {
+            "patch_size": [32, 32, 32],
+            "pool_strides": [[2, 2, 2], [2, 2, 2]],
+            "conv_kernels": [[3, 3, 3]] * 3,
+            "decoder_levels": (1, 2),
+            "batch_size": 8,
+            "mem_estimate_bytes": 10**9,
+            "mem_compiled_bytes": 0,
+        }
+
+    def test_over_budget_halves_batch(self, monkeypatch):
+        from nndetection_tpu.planning import planner as pl
+        from nndetection_tpu.planning.estimator import MemoryEstimate
+
+        calls = []
+
+        def fake_probe(cfg, batch_size, max_instances=32):
+            calls.append(batch_size)
+            # 2 GB per batch element: batch 8 -> 16GB (over), 4 -> 8GB (fits)
+            return MemoryEstimate(batch_size * 2 * 1024**3, {})
+
+        monkeypatch.setattr(pl, "probe_train_step_estimate", fake_probe)
+        p = pl.Planner(compile_validate=True, batch_size=4)
+        arch = p._compile_validate_arch(
+            self._arch(), in_channels=1, num_classes=1,
+            target_spacing=np.ones(3),
+        )
+        assert calls == [8, 4]
+        assert arch["batch_size"] == 4
+        assert arch["mem_compiled_bytes"] == 4 * 2 * 1024**3
+
+    def test_base_batch_over_budget_shrinks_patch(self, monkeypatch):
+        from nndetection_tpu.planning import planner as pl
+        from nndetection_tpu.planning.estimator import MemoryEstimate
+
+        def fake_probe(cfg, batch_size, max_instances=32):
+            # always over budget -> batch halves to base, then patch shrinks
+            return MemoryEstimate(10**12, {})
+
+        monkeypatch.setattr(pl, "probe_train_step_estimate", fake_probe)
+        p = pl.Planner(compile_validate=True, batch_size=4)
+        start = self._arch()
+        arch = p._compile_validate_arch(
+            dict(start), in_channels=1, num_classes=1,
+            target_spacing=np.ones(3),
+        )
+        assert arch["batch_size"] == 4
+        assert np.prod(arch["patch_size"]) < np.prod(start["patch_size"])
+
+    def test_disabled_and_unavailable_keep_plan(self, monkeypatch):
+        from nndetection_tpu.planning import planner as pl
+
+        p = pl.Planner(compile_validate=False)
+        arch = p._compile_validate_arch(
+            self._arch(), 1, 1, target_spacing=np.ones(3)
+        )
+        assert arch["batch_size"] == 8
+        monkeypatch.setattr(
+            pl, "probe_train_step_estimate", lambda *a, **k: None
+        )
+        p2 = pl.Planner(compile_validate=True)
+        arch2 = p2._compile_validate_arch(
+            self._arch(), 1, 1, target_spacing=np.ones(3)
+        )
+        assert arch2["batch_size"] == 8
+
+    def test_probe_compiles_on_cpu_or_returns_none(self):
+        """The probe itself must never raise — on CPU it either yields an
+        analysis or None."""
+        from nndetection_tpu.planning.estimator import probe_train_step_estimate
+        from nndetection_tpu.planning import planner as pl
+
+        p = pl.Planner()
+        cfg = p._proxy_model_config(self._arch(), in_channels=1, num_classes=1)
+        est = probe_train_step_estimate(cfg, batch_size=1, max_instances=4)
+        assert est is None or est.total_bytes > 0

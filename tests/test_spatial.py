@@ -190,3 +190,91 @@ class TestStackedNetworkEquivalence:
         got = jax.jit(fn)(jax.device_put(x, _shard_spec(mesh)))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSpatiallyPartitionedTraining:
+    """VERDICT r1 #5: the FULL RetinaUNet trains over the model axis with
+    losses/params matching the unsharded step to fp tolerance."""
+
+    def _trainer(self, n_model):
+        from nndetection_tpu.data.augment import AugmentConfig
+        from nndetection_tpu.models import RetinaUNetConfig
+        from nndetection_tpu.parallel.mesh import make_mesh
+        from nndetection_tpu.train.trainer import Trainer, TrainerConfig
+
+        cfg = RetinaUNetConfig(
+            conv_kernels=((3, 3, 3),) * 3,
+            strides=((2, 2, 2),) * 2,
+            decoder_levels=(1, 2),
+            patch_size=(16, 16, 16),
+            anchor_width=((6.0,),) * 2,
+            anchor_height=((6.0,),) * 2,
+            anchor_depth=((6.0,),) * 2,
+            start_channels=4,
+            max_channels=8,
+            fpn_channels=8,
+            head_channels=8,
+            topk_candidates=64,
+            detections_per_img=8,
+            dtype="float32",
+        )
+        tcfg = TrainerConfig(batch_size=2, warm_iterations=2, swa_epochs=0)
+        mesh = make_mesh(
+            n_data=1, n_model=n_model, devices=jax.devices()[:n_model]
+        )
+        return Trainer(
+            cfg, tcfg, mesh=mesh,
+            augment_cfg=AugmentConfig(patch_size=cfg.patch_size),
+        )
+
+    def _batch(self):
+        rng = np.random.RandomState(0)
+        b, patch = 2, (16, 16, 16)
+        seg = np.zeros((b, *patch), np.int32)
+        seg[:, 4:10, 4:10, 4:10] = 1
+        table = np.full((b, 4), -1, np.int32)
+        table[:, 0] = 0
+        return {
+            "images": rng.standard_normal((b, *patch, 1)).astype(np.float32),
+            "seg_instances": seg,
+            "instance_classes": table,
+        }
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+    def test_losses_and_params_match_unsharded(self):
+        from nndetection_tpu.parallel.mesh import shard_batch
+
+        t1, t2 = self._trainer(1), self._trainer(2)
+        key = jax.random.PRNGKey(0)
+        s1, s2 = t1.init_state(), t2.init_state()
+        for step in range(3):
+            batch = self._batch()
+            k = jax.random.fold_in(key, step)
+            s1, l1 = t1._train_step(s1, shard_batch(t1.mesh, batch), k)
+            s2, l2 = t2._train_step(s2, shard_batch(t2.mesh, batch), k)
+            assert float(l2["total"]) == pytest.approx(
+                float(l1["total"]), rel=2e-3, abs=2e-3
+            ), f"step {step}"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+            )
+
+    def test_indivisible_patch_rejected(self):
+        from nndetection_tpu.models import RetinaUNetConfig
+        from nndetection_tpu.train.trainer import Trainer
+
+        cfg_bad = RetinaUNetConfig(
+            conv_kernels=((3, 3, 3),) * 3,
+            strides=((2, 2, 2),) * 2,
+            decoder_levels=(1, 2),
+            patch_size=(12, 16, 16),  # level-2 z = 3, not divisible by 2
+            anchor_width=((6.0,),) * 2,
+            anchor_height=((6.0,),) * 2,
+            anchor_depth=((6.0,),) * 2,
+        )
+        with pytest.raises(ValueError):
+            Trainer._check_spatial_shardable(cfg_bad, 2)
