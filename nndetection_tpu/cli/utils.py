@@ -47,14 +47,18 @@ def main_boxes2nii() -> None:
                 int(np.ceil(boxes[:, i].max())) + 1 if len(boxes) else 64
                 for i in (2, 3, 5)
             )
-        vol = np.zeros(shape, np.int16)
-        for i, b in enumerate(boxes, start=1):
-            sl = tuple(
-                slice(max(0, int(b[j])), min(s, int(np.ceil(b[k]))))
-                for j, k, s in ((0, 2, shape[0]), (1, 3, shape[1]), (4, 5, shape[2]))
-            )
-            vol[sl] = i
-        nifti.save(out_dir / f"{cid}_boxes.nii.gz", vol)
+        from nndetection_tpu.utils.analysis import convert_boxes_to_mask
+        from nndetection_tpu.utils.io import save_json
+
+        vol, meta = convert_boxes_to_mask(
+            boxes,
+            scores[keep],
+            np.asarray(pred["pred_labels"])[keep],
+            shape,
+        )
+        nifti.save(out_dir / f"{cid}_boxes.nii.gz", vol.astype(np.int16))
+        # per-instance score/label meta (reference ``convert_box_to_nii_meta``)
+        save_json(meta, out_dir / f"{cid}_boxes.json")
     print(f"exported {out_dir}")
 
 

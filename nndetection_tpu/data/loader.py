@@ -225,6 +225,178 @@ class FastPatchLoader(PatchLoader):
         return np.clip(origin, 0, np.maximum(shape - patch, 0)).astype(np.int64)
 
 
+class DevicePatchPool(PatchLoader):
+    """Patch sampling with the CASES RESIDENT ON DEVICE.
+
+    The pool transfers each preprocessed case to HBM once (bf16 data + int16
+    instance seg, padded to a common shape) and extracts every training patch
+    with an on-device ``dynamic_slice`` — per-step host->device traffic drops
+    from the full generator patch (~124 MB/step at LUNA scale) to a handful
+    of int32 indices. This is both the idiomatic TPU input pipeline (compute
+    never waits on PCIe/host) and the workaround for the axon tunnel client
+    leaking every host transfer buffer (measured: 44.0 MB retained per 44 MB
+    ``device_put``; see docs/roadmap.md).
+
+    Host-side sampling logic (fg oversampling, offset constraint, rng stream)
+    is inherited UNCHANGED from :class:`PatchLoader`, so pool batches are
+    bit-identical in content to host-loader batches given the same seed.
+
+    For datasets larger than ``max_pool_cases``, a random subset is resident
+    and ``refresh()`` swaps ``swap_per_epoch`` slots at each epoch start
+    (bounded leak: swaps x case bytes).
+    """
+
+    def __init__(
+        self,
+        records: Sequence[CaseRecord],
+        patch_size: Sequence[int],
+        batch_size: int,
+        max_pool_cases: Optional[int] = None,
+        swap_per_epoch: int = 2,
+        **kwargs,
+    ):
+        super().__init__(records, patch_size, batch_size, **kwargs)
+        import jax
+
+        self.all_records = list(self.records)
+        n_pool = min(
+            len(self.all_records), max_pool_cases or len(self.all_records)
+        )
+        self.swap_per_epoch = swap_per_epoch if n_pool < len(self.all_records) else 0
+        self.max_shape = tuple(
+            max(max(r.shape[d] for r in self.all_records), self.patch_size[d])
+            for d in range(self.dim)
+        )
+        arr0 = np.load(self.all_records[0].npy_path, mmap_mode="r")
+        self.channels = arr0.shape[0] - 1
+        self._pool_slots: List[CaseRecord] = []
+        self._data_pool = None  # [n, *max_shape, C] bf16 (device)
+        self._seg_pool = None  # [n, *max_shape] int16 (device)
+        # pool management draws from its OWN rng so patch sampling stays on
+        # the same stream as the host PatchLoader (bit-identical batches)
+        self._pool_rng = np.random.RandomState(
+            (kwargs.get("seed", 0) * 7919 + 13) % (2**31)
+        )
+        # keep slot order sorted so the sampling rng stream selects the same
+        # cases as the host PatchLoader when everything is resident
+        idx = np.sort(self._pool_rng.permutation(len(self.all_records))[:n_pool])
+        self._fill([self.all_records[i] for i in idx])
+        self.records = self._pool_slots  # sampling draws from resident cases
+        self._gather = self._build_gather()
+
+    # -- pool management -------------------------------------------------
+    def _case_arrays(self, rec: CaseRecord):
+        import ml_dtypes
+
+        arr = np.load(rec.npy_path, mmap_mode="r")
+        pads = [(0, self.max_shape[d] - rec.shape[d]) for d in range(self.dim)]
+        data = np.pad(
+            np.moveaxis(np.asarray(arr[:-1], np.float32), 0, -1),
+            pads + [(0, 0)],
+        ).astype(ml_dtypes.bfloat16)
+        seg = np.pad(
+            np.asarray(arr[-1], np.float32).astype(np.int16),
+            pads,
+            constant_values=-1,  # outside-volume marker, like crop padding
+        )
+        return data, seg
+
+    def _fill(self, recs: List[CaseRecord]) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        datas, segs = [], []
+        for r in recs:
+            d, s = self._case_arrays(r)
+            datas.append(d)
+            segs.append(s)
+        self._pool_slots = list(recs)
+        self._data_pool = jax.device_put(np.stack(datas))
+        self._seg_pool = jax.device_put(np.stack(segs))
+
+    def refresh(self) -> None:
+        """Swap ``swap_per_epoch`` resident cases for random outsiders."""
+        if not self.swap_per_epoch:
+            return
+        outside = [r for r in self.all_records if r not in self._pool_slots]
+        if not outside:
+            return
+        import jax
+
+        for _ in range(min(self.swap_per_epoch, len(outside))):
+            slot = self._pool_rng.randint(len(self._pool_slots))
+            new = outside[self._pool_rng.randint(len(outside))]
+            outside.remove(new)
+            d, s = self._case_arrays(new)
+            self._data_pool = self._data_pool.at[slot].set(jax.device_put(d))
+            self._seg_pool = self._seg_pool.at[slot].set(jax.device_put(s))
+            self._pool_slots[slot] = new
+
+    def pool_bytes(self) -> int:
+        n = len(self._pool_slots)
+        vox = int(np.prod(self.max_shape))
+        return n * vox * (2 * self.channels + 2)
+
+    # -- device gather ---------------------------------------------------
+    def _build_gather(self):
+        import jax
+        from jax import lax
+
+        patch = self.patch_size
+        c = self.channels
+
+        @jax.jit
+        def gather(data_pool, seg_pool, case_idx, origins):
+            def one(i, o):
+                d = lax.dynamic_slice(
+                    data_pool, (i, o[0], o[1], o[2], 0), (1, *patch, c)
+                )[0]
+                s = lax.dynamic_slice(
+                    seg_pool, (i, o[0], o[1], o[2]), (1, *patch)
+                )[0]
+                return d, s
+
+            return jax.vmap(one)(case_idx, origins)
+
+        return gather
+
+    def generate_batch(self) -> Dict[str, np.ndarray]:
+        case_idx, origins, tables = [], [], []
+        for i in range(self.batch_size):
+            # EXACTLY PatchLoader.generate_batch's rng stream: case draw, then
+            # fg/bg origin — keeps pool batches reproducible vs the host path
+            k = self.rng.randint(len(self.records))
+            rec = self.records[k]
+            use_fg = self._needs_fg(i) and len(rec.boxes) > 0
+            origin = self._fg_origin(rec) if use_fg else self._bg_origin(rec)
+            case_idx.append(k)
+            origins.append(origin)
+            table = np.full((self.max_instances,), -1, np.int32)
+            for iid, cls in zip(rec.instance_ids, rec.classes):
+                if 1 <= iid <= self.max_instances:
+                    table[iid - 1] = cls
+            tables.append(table)
+        data, seg = self._gather(
+            self._data_pool,
+            self._seg_pool,
+            np.asarray(case_idx, np.int32),
+            np.asarray(origins, np.int32),
+        )
+        return {
+            "images": data,
+            "seg_instances": seg,
+            "instance_classes": np.stack(tables),
+        }
+
+    def epoch(self, num_batches: int) -> Iterator[Dict[str, np.ndarray]]:
+        self.refresh()
+        for _ in range(num_batches):
+            yield self.generate_batch()
+
+
+DATALOADER_REGISTRY.register(DevicePatchPool, name="DevicePatchPool")
+
+
 class PrefetchIterator:
     """Background-thread prefetch of host batches (double buffering the
     memmap reads against device compute)."""

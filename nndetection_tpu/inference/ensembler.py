@@ -43,7 +43,67 @@ def batched_nms_model(boxes, scores, labels, weights, iou_thresh):
     return batched_nms_np(boxes, scores, labels, iou_thresh)
 
 
+# whole-case WBC runs on DEVICE when a TPU backend is present (VERDICT r1
+# #3): candidates are padded to a fixed size so one compiled while-loop
+# program serves every case; thresholds are traced scalars so sweep values
+# reuse the compile. "auto" -> TPU only (the numpy/C++ twin wins on CPU).
+DEVICE_WBC = "auto"
+_DEVICE_WBC_CACHE: Dict = {}
+
+
+def _use_device_wbc() -> bool:
+    if DEVICE_WBC == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(DEVICE_WBC)
+
+
+def batched_wbc_device(
+    boxes, scores, labels, weights, n_exp_preds, iou_thresh, score_thresh
+):
+    import jax
+    import jax.numpy as jnp
+
+    from nndetection_tpu.core.boxes.wbc import batched_wbc
+
+    n = len(boxes)
+    num_classes = max(1, int(labels.max()) + 1) if n else 1
+    n_pad = max(64, 1 << (n - 1).bit_length())
+    key = (n_pad, num_classes, boxes.shape[1])
+    fn = _DEVICE_WBC_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(b, s, l, w, e, v, iou, st):
+            return batched_wbc(
+                b, s, l, w, e, v,
+                iou_thresh=iou, score_thresh=st, num_classes=num_classes,
+            )
+
+        _DEVICE_WBC_CACHE[key] = fn
+
+    pad = n_pad - n
+    b = np.pad(boxes.astype(np.float32), ((0, pad), (0, 0)))
+    s = np.pad(scores.astype(np.float32), (0, pad))
+    l = np.pad(labels.astype(np.int32), (0, pad))
+    w = np.pad(weights.astype(np.float32), (0, pad))
+    e = np.pad(n_exp_preds.astype(np.float32), (0, pad), constant_values=1.0)
+    v = np.zeros(n_pad, bool)
+    v[:n] = True
+    ob, os_, ol, ov = jax.device_get(
+        fn(b, s, l, w, e, v, np.float32(iou_thresh), np.float32(score_thresh))
+    )
+    keep = ov.astype(bool)
+    return ob[keep], os_[keep], ol[keep].astype(np.int64)
+
+
 def batched_wbc_ensemble(boxes, scores, labels, weights, iou_thresh, n_exp_preds, score_thresh):
+    if len(boxes) and _use_device_wbc():
+        return batched_wbc_device(
+            boxes, scores, labels, weights, n_exp_preds,
+            iou_thresh=iou_thresh, score_thresh=score_thresh,
+        )
     return batched_wbc_np(
         boxes, scores, labels, weights, n_exp_preds,
         iou_thresh=iou_thresh, score_thresh=score_thresh,

@@ -19,7 +19,12 @@ from nndetection_tpu.data.augment import (
     get_generator_patch_size,
 )
 from nndetection_tpu.data.dataset import DatasetInfo, discover_cases
-from nndetection_tpu.data.loader import PatchLoader, PrefetchIterator, build_case_records
+from nndetection_tpu.data.loader import (
+    DevicePatchPool,
+    PatchLoader,
+    PrefetchIterator,
+    build_case_records,
+)
 from nndetection_tpu.data.preprocess import (
     analyze_dataset,
     process_case,
@@ -165,7 +170,13 @@ def build_loaders(
     augment: bool = True,
     seed: int = 0,
     aug_cfg: Optional[AugmentConfig] = None,
+    device_pool: Any = "auto",
+    pool_hbm_budget: int = 4 * 1024**3,
 ):
+    """``device_pool``: keep training cases resident in HBM and extract
+    patches on device (:class:`DevicePatchPool`) — zero per-step host
+    transfers. ``"auto"`` enables it on TPU backends; the pool size is capped
+    by ``pool_hbm_budget`` (excess cases rotate in via per-epoch swaps)."""
     records = build_case_records(image_dir)
     by_id = {r.case_id: r for r in records}
     if fold == -1:
@@ -180,15 +191,40 @@ def build_loaders(
         gen_patch = generator_patch_size_for(aug_cfg)
     else:
         gen_patch = get_generator_patch_size(plan.patch_size)
-    train_loader = PatchLoader(
-        [by_id[c] for c in train_ids],
-        patch_size=gen_patch,
-        batch_size=batch_size,
-        oversample_foreground_percent=oversample,
-        max_instances=plan.max_instances_per_patch,
-        seed=seed,
-        inner_patch_size=tuple(plan.patch_size),
-    )
+
+    if device_pool == "auto":
+        import jax
+
+        device_pool = jax.default_backend() == "tpu"
+    train_records = [by_id[c] for c in train_ids]
+    if device_pool:
+        dim = len(gen_patch)
+        max_shape = [
+            max(max(r.shape[d] for r in train_records), gen_patch[d])
+            for d in range(dim)
+        ]
+        per_case = int(np.prod(max_shape)) * (2 * plan.in_channels + 2)
+        max_cases = max(2, int(pool_hbm_budget // max(per_case, 1)))
+        train_loader = DevicePatchPool(
+            train_records,
+            patch_size=gen_patch,
+            batch_size=batch_size,
+            max_pool_cases=max_cases,
+            oversample_foreground_percent=oversample,
+            max_instances=plan.max_instances_per_patch,
+            seed=seed,
+            inner_patch_size=tuple(plan.patch_size),
+        )
+    else:
+        train_loader = PatchLoader(
+            train_records,
+            patch_size=gen_patch,
+            batch_size=batch_size,
+            oversample_foreground_percent=oversample,
+            max_instances=plan.max_instances_per_patch,
+            seed=seed,
+            inner_patch_size=tuple(plan.patch_size),
+        )
     val_loader = PatchLoader(
         [by_id[c] for c in val_ids] or [by_id[c] for c in train_ids],
         patch_size=tuple(plan.patch_size),
@@ -213,6 +249,7 @@ def run_train(
     oversample: float = 0.5,
     log_fn=None,
     resume: bool = False,
+    stop_after_epoch: Optional[int] = None,
 ) -> Path:
     """Train one fold; writes ``model_last.ckpt``/``model_best.ckpt`` + plan
     (``scripts/train.py:166-327``). With ``resume=True`` an existing
@@ -298,6 +335,7 @@ def run_train(
         start_epoch=start_epoch,
         state=state,
         best_score=best_score,
+        stop_after_epoch=stop_after_epoch,
     )
     return out_dir
 

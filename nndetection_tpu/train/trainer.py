@@ -446,8 +446,13 @@ class Trainer:
         start_epoch: int = 0,
         state: Optional[TrainState] = None,
         best_score: float = -np.inf,
+        stop_after_epoch: Optional[int] = None,
     ) -> TrainState:
-        """Full training run: ``max_epochs`` regular + ``swa_epochs`` SWA."""
+        """Full training run: ``max_epochs`` regular + ``swa_epochs`` SWA.
+
+        ``stop_after_epoch`` ends the process-local leg early (checkpoint
+        stays resumable) — used to chunk long runs across process restarts
+        when the platform leaks host memory per device transfer."""
         if state is None:
             state = self.init_state()
         total_epochs = self.tcfg.max_epochs + self.tcfg.swa_epochs
@@ -474,6 +479,12 @@ class Trainer:
                     self.output_dir / "model_last.ckpt",
                     {"epoch": epoch, "best_score": float(best)},
                 )
+            if (
+                stop_after_epoch is not None
+                and epoch >= stop_after_epoch
+                and epoch < total_epochs - 1  # final epoch: fall through to SWA transfer
+            ):
+                return state  # early chunk exit; resume continues from here
         # the reference's SWA callback transfers the averaged weights into the
         # model at the end of training (``/root/reference/nndet/training/
         # swa.py:34-105``) — the final/last checkpoint carries SWA weights

@@ -88,6 +88,23 @@ def main():
         log(f"epoch {epoch}: " + " ".join(
             f"{k}={metrics[k]:.4f}" for k in keys if k in metrics))
 
+    swa_epochs = max(1, epochs // 10)
+    total_epochs = epochs + swa_epochs
+    # chunk the run across process restarts: the axon tunnel client leaks
+    # every host->device transfer buffer (~124 MB/step at this scale), so one
+    # process cannot survive the whole run. TOY_CHUNK epochs per process; the
+    # wrapper loop re-execs with TOY_RESUME=1 until training completes.
+    chunk = int(os.environ.get("TOY_CHUNK", 0))
+    stop_after = None
+    if chunk > 0:
+        start = -1
+        ckpt = model_dir / "fold0" / "model_last.ckpt"
+        if resume and ckpt.exists():
+            from nndetection_tpu.utils.io import load_pickle as _lp
+
+            start = int(_lp(ckpt)["extra"].get("epoch", -1))
+        stop_after = start + chunk
+
     run_train(
         task,
         model_dir,
@@ -97,11 +114,15 @@ def main():
             num_train_batches_per_epoch=steps,
             num_val_batches_per_epoch=6,
             warm_iterations=min(200, epochs * steps // 10),
-            swa_epochs=max(1, epochs // 10),
+            swa_epochs=swa_epochs,
         ),
         log_fn=log_fn,
         resume=resume,
+        stop_after_epoch=stop_after,
     )
+    if stop_after is not None and stop_after < total_epochs - 1:
+        log(f"chunk done (through epoch {stop_after}); exiting for restart")
+        sys.exit(3)
     log("training done")
     run_consolidate(task, model_dir, num_folds=1)
     log("consolidated")

@@ -233,3 +233,81 @@ class TestGTPrep:
         sem = np.asarray(out["seg"][0])
         assert sem[2, 2, 2] == 2  # class1 -> semantic 2
         assert sem[5, 5, 5] == 1  # class0 -> semantic 1
+
+
+class TestDevicePatchPool:
+    """DevicePatchPool batches must match PatchLoader's bit-for-bit (same rng
+    stream, on-device dynamic-slice extraction instead of memmap reads)."""
+
+    def _image_dir(self, tmp_path, n_cases=3):
+        import pickle
+
+        d = tmp_path / "imagesTr"
+        d.mkdir()
+        rng = np.random.RandomState(7)
+        for i in range(n_cases):
+            shape = (20 + 2 * i, 24, 22)
+            data = rng.standard_normal((2, *shape)).astype(np.float32)
+            seg = np.zeros(shape, np.float32)
+            seg[4:9, 5:10, 6:11] = 1
+            arr = np.concatenate([data, seg[None]])
+            np.save(d / f"case_{i}.npy", arr)
+            cand = {
+                "boxes": np.array([[4, 5, 9, 10, 6, 11]], np.float32),
+                "classes": np.array([0], np.int64),
+                "instance_ids": np.array([1], np.int64),
+            }
+            with open(d / f"case_{i}_boxes.pkl", "wb") as f:
+                pickle.dump(cand, f)
+        return d
+
+    def test_matches_host_loader(self, tmp_path):
+        from nndetection_tpu.data.loader import (
+            DevicePatchPool,
+            PatchLoader,
+            build_case_records,
+        )
+
+        records = build_case_records(self._image_dir(tmp_path))
+        kw = dict(
+            patch_size=(12, 12, 12), batch_size=4,
+            oversample_foreground_percent=0.5, max_instances=4, seed=11,
+        )
+        host = PatchLoader(records, **kw)
+        pool = DevicePatchPool(records, max_pool_cases=None, **kw)
+        for _ in range(3):
+            bh = host.generate_batch()
+            bp = pool.generate_batch()
+            np.testing.assert_allclose(
+                np.asarray(bp["images"], np.float32),
+                np.asarray(bh["images"], np.float32),
+                atol=0,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bp["seg_instances"], np.int32),
+                np.asarray(bh["seg_instances"], np.int32),
+            )
+            np.testing.assert_array_equal(
+                bp["instance_classes"], bh["instance_classes"]
+            )
+
+    def test_pool_subset_and_refresh(self, tmp_path):
+        from nndetection_tpu.data.loader import DevicePatchPool, build_case_records
+
+        records = build_case_records(self._image_dir(tmp_path, n_cases=3))
+        pool = DevicePatchPool(
+            records, patch_size=(12, 12, 12), batch_size=2,
+            max_pool_cases=2, swap_per_epoch=1, seed=0,
+        )
+        assert len(pool._pool_slots) == 2
+        before = [r.case_id for r in pool._pool_slots]
+        # iterate epochs until a swap changes the resident set
+        changed = False
+        for _ in range(5):
+            list(pool.epoch(1))
+            if [r.case_id for r in pool._pool_slots] != before:
+                changed = True
+                break
+        assert changed
+        b = pool.generate_batch()
+        assert b["images"].shape == (2, 12, 12, 12, 2)

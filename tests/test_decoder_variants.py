@@ -65,6 +65,24 @@ class TestAnalysisSuite:
         )
         np.savez(gt_dir / "case_0_boxes_gt.npz", boxes=gt, classes=np.zeros(1))
         out = run_analysis_suite(pred_dir, gt_dir, tmp_path / "analysis", make_plots=False)
-        r = out["score_0.50"]
+        r = out["iou_0.10_score_0.50"]
         assert r["tp"] == 1 and r["fp"] == 1 and r["fn"] == 0
         assert r["confusion"][0][0] == 1
+        # per-combination subdirs carry the per-case overview + worst list
+        sub = tmp_path / "analysis" / "iou_0.1_score_0.5"
+        assert (sub / "analysis.json").exists()
+        assert (sub / "analysis_ids.json").exists()
+
+    def test_boxes_to_mask(self):
+        from nndetection_tpu.utils.analysis import convert_boxes_to_mask
+
+        mask, meta = convert_boxes_to_mask(
+            np.asarray([[0, 0, 4, 4, 0, 4], [5, 5, 8, 8, 5, 8]], np.float32),
+            np.asarray([0.9, 0.4]),
+            np.asarray([0, 1]),
+            shape=(10, 10, 10),
+            score_thresh=0.2,
+        )
+        assert mask.max() == 2
+        assert mask[1, 1, 1] == 1 and mask[6, 6, 6] == 2
+        assert meta[2]["label"] == 1 and abs(meta[2]["score"] - 0.4) < 1e-6

@@ -74,3 +74,45 @@ class TestBoxEnsemblerWBC:
         assert (
             res["pred_scores"][0] > single.get_case_result()["pred_scores"][0]
         )
+
+
+class TestDeviceWBC:
+    def test_device_path_matches_numpy(self, rng):
+        """The padded, jitted whole-case WBC must reproduce the numpy/C++
+        consolidation exactly (VERDICT r1 #3)."""
+        import nndetection_tpu.inference.ensembler as ens
+
+        n = 120
+        lo = rng.rand(n, 3) * 40
+        sz = 2 + rng.rand(n, 3) * 8
+        boxes = np.stack(
+            [lo[:, 0], lo[:, 1], lo[:, 0] + sz[:, 0], lo[:, 1] + sz[:, 1],
+             lo[:, 2], lo[:, 2] + sz[:, 2]], axis=1,
+        ).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        labels = rng.randint(0, 2, n).astype(np.int64)
+        weights = (0.5 + rng.rand(n)).astype(np.float32)
+        n_exp = np.full(n, 5.0)
+
+        from nndetection_tpu.core.boxes.wbc import batched_wbc_np
+
+        want = batched_wbc_np(
+            boxes, scores, labels, weights, n_exp,
+            iou_thresh=0.4, score_thresh=0.01,
+        )
+        got = ens.batched_wbc_device(
+            boxes, scores, labels, weights, n_exp,
+            iou_thresh=0.4, score_thresh=0.01,
+        )
+        # order may differ (per-class concat); compare as sorted sets
+        def canon(t):
+            b, s, l = t
+            o = np.lexsort((s, l))
+            return b[o], s[o], l[o]
+
+        wb, ws, wl = canon(want)
+        gb, gs, gl = canon(got)
+        assert len(ws) == len(gs)
+        np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(gl, wl)
+        np.testing.assert_allclose(gb, wb, rtol=1e-4, atol=1e-3)
