@@ -105,6 +105,10 @@ class RetinaUNetConfig:
     # rematerialize encoder/decoder/head activations in backward (trade ~1
     # extra forward for the dominant activation HBM; jax.checkpoint)
     remat: bool = True
+    # force exact top-k in ATSS candidate selection and the HNM pool instead
+    # of the TPU-optimized approx_{min,max}_k (recall ~0.95) — the ablation
+    # switch for quantifying the approximation's AP effect (VERDICT r1 #8)
+    exact_topk: bool = False
 
     @property
     def compute_dtype(self):
@@ -267,6 +271,7 @@ def assign_targets(
         matcher = ATSSMatcher(
             num_candidates=cfg.matcher_num_candidates,
             center_in_gt=cfg.matcher_center_in_gt,
+            approx_topk=not cfg.exact_topk,
         )
     else:
         from nndetection_tpu.core.boxes.matcher import IoUMatcher
@@ -345,6 +350,7 @@ def train_step_loss(
             min_neg=cfg.min_neg,
             pool_size=cfg.pool_size,
             batch_size=1,
+            approx_topk=not cfg.exact_topk,
         )
         keys = jax.random.split(key, b)
         pos_mask, neg_mask = jax.vmap(sampler)(

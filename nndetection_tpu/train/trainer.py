@@ -353,7 +353,10 @@ class Trainer:
             for k, v in host_metrics.items()
         }
         totals = np.asarray(host_metrics.get("total", []), np.float64)
-        out["train_nonfinite_steps"] = int(np.sum(~np.isfinite(totals)))
+        bad = np.where(~np.isfinite(totals))[0]
+        out["train_nonfinite_steps"] = int(len(bad))
+        if len(bad):
+            out["train_first_nonfinite_step"] = float(bad[0])
         # host-memory observability (a 129GB RSS OOM killed a real toy run;
         # track growth per epoch to catch leaks in the loader/transfer path)
         try:

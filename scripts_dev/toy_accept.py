@@ -52,8 +52,11 @@ def main():
     out_json = Path(os.environ.get("TOY_OUT", REPO / "artifacts" / "toy_accept.json"))
 
     resume = os.environ.get("TOY_RESUME", "") == "1"
+    # reuse an already-generated+prepped dataset but train from scratch
+    # (e.g. the exact-topk ablation leg against the same data)
+    reuse_data = os.environ.get("TOY_REUSE_DATA", "") == "1" or resume
     task = root / "Task000D3_Example"
-    if not resume:
+    if not reuse_data:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
@@ -78,7 +81,8 @@ def main():
         plan = load_pickle(task / "preprocessed" / "D3V001_3d.pkl")
         log(f"resuming: patch={plan.patch_size} batch={plan.batch_size}")
 
-    model_dir = root / "models" / task.name / "RetinaUNetV001_D3V001_3d"
+    tag = os.environ.get("TOY_TAG", "")
+    model_dir = root / "models" / task.name / f"RetinaUNetV001_D3V001_3d{tag}"
 
     def log_fn(epoch, metrics):
         keys = (
@@ -105,6 +109,10 @@ def main():
             start = int(_lp(ckpt)["extra"].get("epoch", -1))
         stop_after = start + chunk
 
+    # ablation switch (VERDICT r1 #8): train with EXACT top-k in ATSS/HNM
+    # instead of approx_{min,max}_k and compare final AP
+    exact_topk = os.environ.get("TOY_EXACT_TOPK", "") == "1"
+
     run_train(
         task,
         model_dir,
@@ -116,6 +124,7 @@ def main():
             warm_iterations=min(200, epochs * steps // 10),
             swa_epochs=swa_epochs,
         ),
+        model_overrides=dict(exact_topk=True) if exact_topk else None,
         log_fn=log_fn,
         resume=resume,
         stop_after_epoch=stop_after,
