@@ -1,6 +1,10 @@
 from nndetection_tpu.inference.predictor import ModelBundle, Predictor
 from nndetection_tpu.inference.ensembler import (
+    BOX_ENSEMBLERS,
+    BoxEnsemblerFastest,
+    BoxEnsemblerLW,
     BoxEnsemblerSelective,
+    BoxEnsemblerWBC,
     SegmentationEnsembler,
 )
 from nndetection_tpu.inference.restore import restore_detection, restore_fmap
@@ -15,7 +19,11 @@ from nndetection_tpu.inference.tta import get_tta_flips, flip_image, invert_boxe
 __all__ = [
     "ModelBundle",
     "Predictor",
+    "BOX_ENSEMBLERS",
+    "BoxEnsemblerFastest",
+    "BoxEnsemblerLW",
     "BoxEnsemblerSelective",
+    "BoxEnsemblerWBC",
     "SegmentationEnsembler",
     "restore_detection",
     "restore_fmap",

@@ -365,12 +365,26 @@ class BoxEnsemblerWBC(BoxEnsemblerSelective):
     """Classic WBC ensembler (``detection.py:37-536``): no per-model NMS —
     every (model x TTA) stream's tile predictions go straight into one
     whole-case weighted box clustering whose expected-prediction count comes
-    from the tile OverlapMap x number of streams."""
+    from the tile OverlapMap x number of streams. Box-in-tile weights are
+    Gaussian (``detection.py:394-419``: per-axis scaled normal pdf about the
+    tile center, averaged over axes)."""
 
     def __init__(self, case_shape, parameters=None, properties=None):
         super().__init__(case_shape, parameters, properties)
         self.overlap_map = OverlapMap(case_shape)
         self._tiles_counted_for: Optional[Hashable] = None
+
+    @staticmethod
+    def _get_box_in_tile_weight(
+        centers: np.ndarray, tile_size: Sequence[int]
+    ) -> np.ndarray:
+        """``norm.pdf(bc, loc=ps/2, scale=ps/2*0.8)`` normalized to 1 at the
+        tile center, averaged per axis (``detection.py:394-419``)."""
+        if len(centers) == 0:
+            return np.zeros((0,), dtype=np.float32)
+        half = np.asarray(tile_size, dtype=np.float64) / 2.0
+        z = (centers - half[None]) / (half[None] * 0.8)
+        return np.mean(np.exp(-0.5 * z * z), axis=1).astype(np.float32)
 
     def process_tile(self, boxes, scores, labels, tile_origin, tile_size):
         # count each tile once (the grid repeats identically per stream)
@@ -424,6 +438,58 @@ class BoxEnsemblerWBC(BoxEnsemblerSelective):
             "pred_scores": s[order],
             "pred_labels": l[order].astype(np.int64),
         }
+
+
+class BoxEnsemblerLW(BoxEnsemblerWBC):
+    """Classic WBC ensembler with the cheap linear plateau box weight instead
+    of the Gaussian (``detection.py:539-569``)."""
+
+    # plateau weight, identical to the Selective ensembler's
+    _get_box_in_tile_weight = staticmethod(
+        BoxEnsemblerSelective._get_box_in_tile_weight
+    )
+
+
+class BoxEnsemblerFastest(BoxEnsemblerLW):
+    """Fastest (least precise) classic variant (``detection.py:571-718``):
+    linear box weight, per-stream caches truncated to the top
+    ``num_reduced_cache`` scores, and the expected-predictions count taken
+    from the GLOBAL overlap-map mean rather than per-box region means."""
+
+    num_reduced_cache = 8000
+
+    def process_tile(self, boxes, scores, labels, tile_origin, tile_size):
+        super().process_tile(boxes, scores, labels, tile_origin, tile_size)
+        res = self.model_results[self.model_current]
+        n = sum(len(s) for s in res["scores"])
+        if n > 2 * self.num_reduced_cache:
+            scores_all = np.concatenate(res["scores"])
+            idx = np.argsort(-scores_all, kind="stable")[: self.num_reduced_cache]
+            for key, cat in (
+                ("boxes", np.concatenate(res["boxes"])),
+                ("scores", scores_all),
+                ("labels", np.concatenate(res["labels"])),
+                ("weights", np.concatenate(res["weights"])),
+            ):
+                res[key] = [cat[idx]]
+
+    def get_case_result(self) -> Dict[str, np.ndarray]:
+        mean = float(self.overlap_map.map.mean()) or 1.0
+        # patch the per-box overlap estimate with the global mean
+        self.overlap_map.mean_overlap_in_boxes = (  # type: ignore[method-assign]
+            lambda boxes, _m=mean: np.full(len(boxes), _m, dtype=np.float32)
+        )
+        return super().get_case_result()
+
+
+# name -> class, mirroring the reference's ensembler module surface
+BOX_ENSEMBLERS = {
+    "BoxEnsemblerSelective": BoxEnsemblerSelective,
+    "BoxEnsembler": BoxEnsemblerWBC,
+    "BoxEnsemblerWBC": BoxEnsemblerWBC,
+    "BoxEnsemblerLW": BoxEnsemblerLW,
+    "BoxEnsemblerFastest": BoxEnsemblerFastest,
+}
 
 
 class SegmentationEnsembler:

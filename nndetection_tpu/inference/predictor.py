@@ -22,7 +22,7 @@ import numpy as np
 
 from nndetection_tpu.data.patching import compute_grid, pad_to_min_shape
 from nndetection_tpu.inference.ensembler import (
-    BoxEnsemblerSelective,
+    BOX_ENSEMBLERS,
     SegmentationEnsembler,
 )
 from nndetection_tpu.inference.restore import restore_detection
@@ -58,8 +58,10 @@ class Predictor:
         tile_detections: int = 100,
         ensembler_parameters: Optional[Dict[str, Any]] = None,
         predict_seg: bool = False,
+        ensembler: str = "BoxEnsemblerSelective",
     ):
         assert len(models) > 0
+        self.ensembler_cls = BOX_ENSEMBLERS[ensembler]
         self.models = list(models)
         self.cfg = models[0].cfg
         self.patch_size = tuple(self.cfg.patch_size)
@@ -151,7 +153,7 @@ class Predictor:
         case_shape = padded.shape[1:]
         grid = compute_grid(case_shape, self.patch_size, self.overlap)
 
-        box_ens = BoxEnsemblerSelective(
+        box_ens = self.ensembler_cls(
             case_shape, parameters=self.ensembler_parameters, properties=properties
         )
         seg_ens = (

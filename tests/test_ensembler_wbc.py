@@ -1,6 +1,13 @@
 import numpy as np
 
-from nndetection_tpu.inference.ensembler import BoxEnsemblerWBC, OverlapMap
+from nndetection_tpu.inference.ensembler import (
+    BOX_ENSEMBLERS,
+    BoxEnsemblerFastest,
+    BoxEnsemblerLW,
+    BoxEnsemblerSelective,
+    BoxEnsemblerWBC,
+    OverlapMap,
+)
 
 
 class TestOverlapMap:
@@ -74,6 +81,72 @@ class TestBoxEnsemblerWBC:
         assert (
             res["pred_scores"][0] > single.get_case_result()["pred_scores"][0]
         )
+
+
+class TestEnsemblerVariants:
+    def test_gaussian_vs_plateau_weight(self):
+        """The classic WBC ensembler weights with a per-axis Gaussian
+        (reference ``detection.py:394-419``); LW/Selective use the plateau."""
+        tile = (24, 24, 24)
+        center = np.asarray([[12.0, 12.0, 12.0]])
+        corner = np.asarray([[1.0, 1.0, 1.0]])
+        g_c = BoxEnsemblerWBC._get_box_in_tile_weight(center, tile)
+        g_k = BoxEnsemblerWBC._get_box_in_tile_weight(corner, tile)
+        p_c = BoxEnsemblerLW._get_box_in_tile_weight(center, tile)
+        p_k = BoxEnsemblerLW._get_box_in_tile_weight(corner, tile)
+        assert np.isclose(g_c[0], 1.0) and np.isclose(p_c[0], 1.0)
+        assert 0 < g_k[0] < p_k[0] < 1.0  # gaussian decays faster
+        # plateau: within half the max distance the weight stays 1
+        near = np.asarray([[12.0, 12.0, 16.0]])
+        assert BoxEnsemblerLW._get_box_in_tile_weight(near, tile)[0] == 1.0
+        assert BoxEnsemblerWBC._get_box_in_tile_weight(near, tile)[0] < 1.0
+        # LW shares the Selective plateau exactly
+        np.testing.assert_allclose(
+            BoxEnsemblerLW._get_box_in_tile_weight(corner, tile),
+            BoxEnsemblerSelective._get_box_in_tile_weight(corner, tile),
+        )
+
+    def test_registry_names(self):
+        for name in (
+            "BoxEnsembler", "BoxEnsemblerWBC", "BoxEnsemblerLW",
+            "BoxEnsemblerFastest", "BoxEnsemblerSelective",
+        ):
+            assert name in BOX_ENSEMBLERS
+
+    def test_fastest_variant_runs(self):
+        ens = BoxEnsemblerFastest((32, 32, 32))
+        ens.add_model("m0")
+        ens.process_tile(
+            np.asarray([[10, 10, 20, 20, 10, 20]], np.float32),
+            np.asarray([0.8], np.float32),
+            np.asarray([0], np.int64),
+            tile_origin=(0, 0, 0),
+            tile_size=(24, 24, 24),
+        )
+        res = ens.get_case_result()
+        assert len(res["pred_boxes"]) == 1
+        assert 0 < res["pred_scores"][0] <= 0.8 + 1e-6
+
+    def test_fastest_cache_truncation(self):
+        ens = BoxEnsemblerFastest((64, 64, 64))
+        ens.num_reduced_cache = 10
+        ens.add_model("m0")
+        rng = np.random.RandomState(0)
+        for t in range(4):
+            n = 12
+            lo = rng.rand(n, 3) * 10
+            boxes = np.concatenate(
+                [lo[:, :2], lo[:, :2] + 3, lo[:, 2:], lo[:, 2:] + 3], axis=1
+            ).astype(np.float32)
+            ens.process_tile(
+                boxes,
+                rng.rand(n).astype(np.float32),
+                np.zeros(n, np.int64),
+                tile_origin=(0, 0, 0),
+                tile_size=(24, 24, 24),
+            )
+        total = sum(len(s) for s in ens.model_results["m0"]["scores"])
+        assert total <= 2 * ens.num_reduced_cache
 
 
 class TestDeviceWBC:
