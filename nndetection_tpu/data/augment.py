@@ -336,7 +336,12 @@ def augment_sample(
     mn, sd = jnp.mean(x), jnp.std(x) + 1e-8
     lo, rng_ = jnp.min(x), jnp.max(x) - jnp.min(x) + 1e-8
     invert = jax.random.uniform(keys[11], ()) < cfg.p_gamma_invert
-    xn = (x - lo) / rng_
+    # clamp into [0,1]: TPU divides via approximate reciprocal, so the max
+    # voxel's ratio can round slightly ABOVE 1; under invert that makes the
+    # pow base negative -> NaN, which the retain-stats normalization then
+    # spreads to every voxel (the rare all-losses-NaN train steps seen on
+    # real toy runs — root-caused via scripts_dev/nan_hunt.py)
+    xn = jnp.clip((x - lo) / rng_, 0.0, 1.0)
     xn = jnp.where(invert, 1.0 - xn, xn)
     xg = xn**gamma
     xg = jnp.where(invert, 1.0 - xg, xg)

@@ -184,3 +184,44 @@ class TestElasticDummy2DMask:
         d = np.asarray(d)[0, ..., 0]
         assert np.all(d[:4] == 0.0)
         assert np.all(d[4:] == 5.0)
+
+
+class TestGammaInvertFinite:
+    def test_inverted_gamma_stays_finite_bf16(self, rng):
+        """Regression: on TPU the `(x-lo)/rng` normalization divides via an
+        approximate reciprocal, so the max voxel's ratio can round above 1;
+        with gamma-invert the pow base then goes negative -> NaN that the
+        retain-stats normalization spreads to the whole volume (seen ~1%% of
+        real toy train steps; root-caused via scripts_dev/nan_hunt.py). The
+        clamp must keep every voxel finite for any base value in any dtype."""
+        import ml_dtypes
+
+        patch = (16, 16, 16)
+        cfg = AugmentConfig(
+            patch_size=patch,
+            p_rotation=0.0, p_scale=0.0,
+            p_noise=0.0, p_blur=0.0, p_brightness=0.0, p_contrast=0.0,
+            p_lowres=0.0,
+            p_gamma=1.0, p_gamma_invert=1.0,
+        )
+        gen = get_generator_patch_size(patch, rotation_deg=cfg.rotation_deg,
+                                       scale_min=cfg.scale_range[0])
+        for scale in (1.0, 1e-4, 1e4):
+            data = (rng.normal(0.0, scale, size=(2, *gen, 1))).astype(
+                ml_dtypes.bfloat16
+            )
+            seg = np.zeros((2, *gen), np.int32)
+            out, _ = jax.jit(
+                lambda k, d, s: augment_batch(k, d, s, cfg)
+            )(jax.random.PRNGKey(3), jnp.asarray(data), jnp.asarray(seg))
+            assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), scale
+
+    def test_gamma_clamp_handles_overshoot(self):
+        """Directly exercise the hazard: if normalized intensities exceeded 1
+        (TPU reciprocal rounding), the inverted pow base would be negative.
+        The clamp makes the gamma output independent of such overshoot."""
+        x = jnp.asarray([0.0, 0.25, 0.5, 1.0 + 1e-6])
+        gamma = 0.8
+        xn = jnp.clip(x, 0.0, 1.0)
+        out = (1.0 - xn) ** gamma
+        assert bool(jnp.isfinite(out).all())
