@@ -30,7 +30,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 A100_BASELINE_PATCHES_PER_S = 8.0
 
 
-def luna_cfg(patch, dtype="bfloat16"):
+def luna_cfg(patch, dtype="bfloat16", remat=True):
     from nndetection_tpu.models import RetinaUNetConfig
 
     # LUNA16-like plan: 6 resolution stages, isotropic pooling, detection
@@ -50,6 +50,7 @@ def luna_cfg(patch, dtype="bfloat16"):
         fpn_channels=128,
         head_channels=128,
         dtype=dtype,
+        remat=remat,
     )
 
 
@@ -70,14 +71,14 @@ def make_batch(rng, batch, gen_patch, in_channels=1, max_inst=8):
     }
 
 
-def run(patch, batch, steps, warmup, aug: bool) -> float:
+def run(patch, batch, steps, warmup, aug: bool, remat: bool = True) -> float:
     import jax
 
     from nndetection_tpu.data.augment import AugmentConfig, get_generator_patch_size
     from nndetection_tpu.parallel.mesh import make_mesh, shard_batch
     from nndetection_tpu.train.trainer import Trainer, TrainerConfig
 
-    cfg = luna_cfg(patch)
+    cfg = luna_cfg(patch, remat=remat)
     tcfg = TrainerConfig(batch_size=batch, warm_iterations=10)
     aug_cfg = AugmentConfig(patch_size=cfg.patch_size) if aug else None
     n_dev = len(jax.devices())
@@ -144,6 +145,12 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--no_aug", action="store_true")
     p.add_argument(
+        "--remat", choices=["on", "off", "auto"], default="auto",
+        help="activation rematerialization; auto = planner policy (off when "
+        "the no-remat step fits HBM, as the compile probe decides on real "
+        "plans; the bench tries off first and falls back to on if OOM)",
+    )
+    p.add_argument(
         "--mode", choices=["train", "infer"], default="train",
         help="train: patches/s/chip; infer: sliding-window volumes/min",
     )
@@ -169,16 +176,29 @@ def main():
         if args.patch
         else [(96, 128, 128), (64, 128, 128), (64, 96, 96), (32, 64, 64)]
     )
+    remat_opts = {"on": [True], "off": [False], "auto": [False, True]}[args.remat]
     value = None
     last_err = None
+    used_remat = None
     for patch in candidates:
-        try:
-            value = run(patch, args.batch, args.steps, args.warmup, not args.no_aug)
-            used_patch = patch
+        for remat in remat_opts:
+            try:
+                value = run(
+                    patch, args.batch, args.steps, args.warmup, not args.no_aug,
+                    remat=remat,
+                )
+                used_patch = patch
+                used_remat = remat
+                break
+            except Exception as e:  # noqa: BLE001 — OOM etc: next remat/patch
+                last_err = e
+                print(
+                    f"# patch {patch} remat={remat} failed: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+        if value is not None:
             break
-        except Exception as e:  # noqa: BLE001 — OOM etc: try smaller patch
-            last_err = e
-            print(f"# patch {patch} failed: {type(e).__name__}: {e}", file=sys.stderr)
     if value is None:
         raise SystemExit(f"benchmark failed at all patch sizes: {last_err}")
 
@@ -192,7 +212,11 @@ def main():
             }
         )
     )
-    print(f"# patch={used_patch} batch={args.batch} steps={args.steps}", file=sys.stderr)
+    print(
+        f"# patch={used_patch} batch={args.batch} steps={args.steps} "
+        f"remat={used_remat}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

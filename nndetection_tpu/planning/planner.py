@@ -65,6 +65,10 @@ class Plan:
     mem_estimate_bytes: int = 0
     mem_compiled_bytes: int = 0
     requires_lowres: bool = False
+    # rematerialize activations in backward; the compile-probe turns this OFF
+    # when the no-remat step fits HBM (backward then reuses stored activations
+    # instead of recomputing the forward — substantially faster)
+    remat: bool = True
 
     @property
     def do_dummy_2d(self) -> bool:
@@ -92,6 +96,7 @@ class Plan:
             anchor_height=tuple(tuple(h) for h in self.anchors["height"]),
             anchor_depth=tuple(tuple(d) for d in self.anchors["depth"]),
             class_weights=tuple(self.class_weights) if self.class_weights else None,
+            remat=self.remat,
         )
         kw.update(overrides)
         return RetinaUNetConfig(**kw)
@@ -213,7 +218,8 @@ class Planner:
 
     # ------------------------------------------------------------------
     def _proxy_model_config(
-        self, arch: Dict[str, Any], in_channels: int, num_classes: int
+        self, arch: Dict[str, Any], in_channels: int, num_classes: int,
+        remat: bool = True,
     ) -> RetinaUNetConfig:
         """Architecture config with PROXY anchors — anchor optimization runs
         after the memory decision, exactly like the reference's probe net
@@ -240,6 +246,7 @@ class Planner:
             anchor_width=tuple(tuple(w) for w in proxy["width"]),
             anchor_height=tuple(tuple(h) for h in proxy["height"]),
             anchor_depth=tuple(tuple(d) for d in proxy["depth"]),
+            remat=remat,
         )
 
     def _compile_validate_arch(
@@ -264,6 +271,17 @@ class Planner:
         # compiled numbers are near-exact: compare against the raw HBM minus
         # a small runtime/infeed headroom instead of the analytic margin
         compile_budget = int(self.hbm_budget * 0.92 / 0.85)
+        # first choice: NO rematerialization — the backward reuses stored
+        # activations instead of recomputing the forward. Only affordable when
+        # the larger no-remat footprint fits, which exactly this probe decides
+        # (the reference's probe likewise measures the real training footprint,
+        # ``/root/reference/nndet/planning/estimator.py:215-239``).
+        cfg_nr = self._proxy_model_config(arch, in_channels, num_classes, remat=False)
+        est_nr = probe_train_step_estimate(cfg_nr, arch["batch_size"])
+        if est_nr is not None and est_nr.total_bytes <= compile_budget:
+            arch["remat"] = False
+            arch["mem_compiled_bytes"] = est_nr.total_bytes
+            return arch
         for _ in range(3):
             cfg = self._proxy_model_config(arch, in_channels, num_classes)
             est = probe_train_step_estimate(cfg, arch["batch_size"])
@@ -409,6 +427,7 @@ class Planner:
             mem_estimate_bytes=arch["mem_estimate_bytes"],
             mem_compiled_bytes=arch.get("mem_compiled_bytes", 0),
             requires_lowres=requires_lowres,
+            remat=arch.get("remat", True),
         )
 
     def plan_lowres(self, plan: Plan, dataset_properties, info) -> Plan:

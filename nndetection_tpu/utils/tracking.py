@@ -22,8 +22,28 @@ class RunTracker:
             "start_time": time.time(),
             "host": platform.node(),
             "platform": platform.platform(),
+            "python": platform.python_version(),
             "tags": tags or {},
         }
+        # reproducibility metadata, the reference's meta.json analog
+        # (``/root/reference/scripts/train.py:215-259``: versions/date/git)
+        try:
+            import jax
+
+            meta["jax_version"] = jax.__version__
+            meta["jax_backend"] = jax.default_backend()
+        except Exception:  # noqa: BLE001 — tracking must never break a run
+            pass
+        try:
+            import subprocess
+
+            meta["framework_git"] = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=Path(__file__).resolve().parent,
+                capture_output=True, text=True, timeout=5,
+            ).stdout.strip() or None
+        except Exception:  # noqa: BLE001
+            pass
         with open(self.run_dir / "run_meta.json", "w") as f:
             json.dump(meta, f, indent=2, default=str)
         if params is not None:

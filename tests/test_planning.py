@@ -176,9 +176,31 @@ class TestCompileValidate:
             self._arch(), in_channels=1, num_classes=1,
             target_spacing=np.ones(3),
         )
-        assert calls == [8, 4]
+        # first call probes the no-remat variant (over budget here), then the
+        # remat loop: batch 8 over -> halve -> batch 4 fits
+        assert calls == [8, 8, 4]
         assert arch["batch_size"] == 4
+        assert arch.get("remat", True) is True
         assert arch["mem_compiled_bytes"] == 4 * 2 * 1024**3
+
+    def test_no_remat_when_probe_fits(self, monkeypatch):
+        from nndetection_tpu.planning import planner as pl
+        from nndetection_tpu.planning.estimator import MemoryEstimate
+
+        seen_remat = []
+
+        def fake_probe(cfg, batch_size, max_instances=32):
+            seen_remat.append(cfg.remat)
+            return MemoryEstimate(2 * 1024**3, {})  # always fits
+
+        monkeypatch.setattr(pl, "probe_train_step_estimate", fake_probe)
+        p = pl.Planner(compile_validate=True, batch_size=4)
+        arch = p._compile_validate_arch(
+            self._arch(), in_channels=1, num_classes=1,
+            target_spacing=np.ones(3),
+        )
+        assert seen_remat == [False]  # no-remat probe fit -> done in one call
+        assert arch["remat"] is False
 
     def test_base_batch_over_budget_shrinks_patch(self, monkeypatch):
         from nndetection_tpu.planning import planner as pl
@@ -225,3 +247,48 @@ class TestCompileValidate:
         cfg = p._proxy_model_config(self._arch(), in_channels=1, num_classes=1)
         est = probe_train_step_estimate(cfg, batch_size=1, max_instances=4)
         assert est is None or est.total_bytes > 0
+
+
+class TestRematPlanning:
+    def test_plan_remat_threads_into_model_config(self):
+        """`Plan.remat` must reach the architecture config (the compile probe
+        turns remat off when the no-remat step fits HBM)."""
+        from nndetection_tpu.planning.planner import Plan
+
+        kw = dict(
+            plan_id="t", dim=3, target_spacing=[1, 1, 1],
+            transpose_forward=[0, 1, 2], normalization_schemes=["nonCT"],
+            intensity_properties={}, use_nonzero_mask=False,
+            patch_size=[32, 32, 32], batch_size=2,
+            conv_kernels=[[3, 3, 3]] * 4, pool_strides=[[2, 2, 2]] * 3,
+            decoder_levels=(1, 2, 3),
+            anchors={"width": [[4.0, 6.0]] * 3, "height": [[4.0, 6.0]] * 3,
+                     "depth": [[4.0, 6.0]] * 3},
+            in_channels=1, num_classes=1, seg_classes=1,
+        )
+        assert Plan(**kw).model_config().remat is True
+        assert Plan(**kw, remat=False).model_config().remat is False
+
+    def test_old_pickles_default_remat(self, tmp_path):
+        """Plans pickled before the field existed must read remat=True via
+        the dataclass class attribute."""
+        import pickle
+
+        from nndetection_tpu.planning.planner import Plan
+
+        p = Plan(
+            plan_id="t", dim=3, target_spacing=[1, 1, 1],
+            transpose_forward=[0, 1, 2], normalization_schemes=["nonCT"],
+            intensity_properties={}, use_nonzero_mask=False,
+            patch_size=[32, 32, 32], batch_size=2,
+            conv_kernels=[[3, 3, 3]] * 4, pool_strides=[[2, 2, 2]] * 3,
+            decoder_levels=(1, 2, 3),
+            anchors={"width": [[4.0]] * 3, "height": [[4.0]] * 3,
+                     "depth": [[4.0]] * 3},
+            in_channels=1, num_classes=1, seg_classes=1,
+        )
+        blob = pickle.dumps(p)
+        restored = pickle.loads(blob)
+        del restored.__dict__["remat"]  # simulate a pre-field pickle
+        assert restored.remat is True
+        assert restored.model_config().remat is True
