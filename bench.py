@@ -109,7 +109,9 @@ def run(patch, batch, steps, warmup, aug: bool, remat: bool = True) -> float:
     return steps * batch / dt
 
 
-def run_inference(patch, batch, case_shape=(192, 384, 384), tta=False) -> float:
+def run_inference(
+    patch, batch, case_shape=(192, 384, 384), tta=False, num_models=1
+) -> float:
     """Sliding-window whole-case inference throughput (volumes/min)."""
     import jax
 
@@ -123,8 +125,11 @@ def run_inference(patch, batch, case_shape=(192, 384, 384), tta=False) -> float:
     model_params = jax.jit(model.init)(
         jax.random.PRNGKey(0), np.zeros((1, *patch, 1), np.float32)
     )
-    bundle = ModelBundle(cfg=cfg, params=model_params, name="bench")
-    predictor = Predictor([bundle], batch_size=batch, tta=tta)
+    bundles = [
+        ModelBundle(cfg=cfg, params=model_params, name=f"bench{i}")
+        for i in range(num_models)
+    ]
+    predictor = Predictor(bundles, batch_size=batch, tta=tta)
     rng = np.random.RandomState(0)
     case = rng.standard_normal((1, *case_shape)).astype(np.float32)
     # warmup (compile)
@@ -154,11 +159,18 @@ def main():
         "--mode", choices=["train", "infer"], default="train",
         help="train: patches/s/chip; infer: sliding-window volumes/min",
     )
+    p.add_argument("--tta", action="store_true", help="infer: 8-way mirror TTA")
+    p.add_argument(
+        "--models", type=int, default=1,
+        help="infer: ensemble size (e.g. 5 for the 5-fold deployment point)",
+    )
     args = p.parse_args()
 
     if args.mode == "infer":
         patch = tuple(args.patch) if args.patch else (96, 128, 128)
-        value = run_inference(patch, args.batch)
+        value = run_inference(
+            patch, args.batch, tta=args.tta, num_models=args.models
+        )
         print(
             json.dumps(
                 {

@@ -16,6 +16,11 @@ def main() -> None:
     parser = base_parser("Predict test split")
     parser.add_argument("--no_tta", action="store_true")
     parser.add_argument("--num_folds", type=int, default=5)
+    parser.add_argument(
+        "--ensembler", default="BoxEnsemblerSelective",
+        help="box ensembler variant (BoxEnsemblerSelective | BoxEnsembler | "
+        "BoxEnsemblerLW | BoxEnsemblerFastest)",
+    )
     args = parser.parse_args()
     cfg = compose(overrides=args.overrides)
     task_dir = resolve_task(args.task)
@@ -27,6 +32,7 @@ def main() -> None:
         plan_id=cfg["plan"],
         tta=not args.no_tta,
         num_folds=args.num_folds,
+        ensembler=args.ensembler,
     )
 
 

@@ -25,7 +25,11 @@ def evaluate_box_dir(
     pred_dir, gt_dir = Path(pred_dir), Path(gt_dir)
     evaluator = BoxEvaluator.create(classes, fast=fast)
     case_ids = sorted(
-        p.name[: -len("_boxes.pkl")] for p in pred_dir.glob("*_boxes.pkl")
+        p.name[: -len("_boxes.pkl")]
+        for p in pred_dir.glob("*_boxes.pkl")
+        # the metrics artifact a previous evaluation saved into this dir
+        # (``results_boxes.pkl``) is not a case prediction
+        if p.name != "results_boxes.pkl"
     )
     if not case_ids:
         raise FileNotFoundError(f"no *_boxes.pkl predictions in {pred_dir}")

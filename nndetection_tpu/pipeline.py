@@ -354,6 +354,7 @@ def predict_dir(
     ensembler_parameters: Optional[Dict[str, Any]] = None,
     batch_size: int = 4,
     predict_seg: bool = False,
+    ensembler: str = "BoxEnsemblerSelective",
 ) -> None:
     """Predict all preprocessed cases in a directory
     (``/root/reference/nndet/inference/helper.py:30-111``)."""
@@ -365,6 +366,7 @@ def predict_dir(
         tta=tta,
         ensembler_parameters=ensembler_parameters,
         predict_seg=predict_seg,
+        ensembler=ensembler,
     )
     if case_ids is None:
         case_ids = sorted(
@@ -488,6 +490,7 @@ def run_predict_test(
     tta: bool = True,
     num_folds: int = NUM_FOLDS,
     restore: bool = True,
+    ensembler: str = "BoxEnsemblerSelective",
 ) -> Path:
     """Preprocess + predict the test split with all consolidated folds
     (``scripts/predict.py:36-242``)."""
@@ -538,6 +541,7 @@ def run_predict_test(
         restore=restore,
         ensembler_parameters=params,
         batch_size=plan.batch_size,
+        ensembler=ensembler,
     )
     return out
 
@@ -552,7 +556,13 @@ def run_evaluate(
     # predictions made with restore=True live in ORIGINAL image space and are
     # scored against the original-space GT export (`*_boxes_gt_orig.npz`)
     gt_suffix = "_boxes_gt.npz"
-    sample = next(iter(sorted(pred_dir.glob("*_boxes.pkl"))), None)
+    sample = next(
+        iter(
+            p for p in sorted(pred_dir.glob("*_boxes.pkl"))
+            if p.name != "results_boxes.pkl"
+        ),
+        None,
+    )
     if sample is not None and load_pickle(sample).get("restored"):
         gt_suffix = "_boxes_gt_orig.npz"
     return evaluate_box_dir(

@@ -167,3 +167,31 @@ class TestFROC:
         scores, curves = m.compute(results)
         # at 1 FP/image the sensitivity is 0.5 (2 of 4 found)
         assert 0 < scores["FROC_score_IoU_0.10"] <= 0.5
+
+
+def test_evaluate_box_dir_ignores_results_artifact(tmp_path):
+    """Re-evaluating a directory that already holds the saved metrics artifact
+    (results_boxes.pkl) must not treat it as a case prediction."""
+    import numpy as np
+
+    from nndetection_tpu.evaluator.registry import evaluate_box_dir
+    from nndetection_tpu.utils.io import save_pickle
+
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(); gt.mkdir()
+    save_pickle(
+        {"pred_boxes": np.asarray([[1, 1, 5, 5, 1, 5]], np.float32),
+         "pred_scores": np.asarray([0.9], np.float32),
+         "pred_labels": np.asarray([0], np.int64)},
+        pred / "case0_boxes.pkl",
+    )
+    np.savez(gt / "case0_boxes_gt.npz",
+             boxes=np.asarray([[1, 1, 5, 5, 1, 5]], np.float32),
+             classes=np.asarray([0], np.int64))
+    # first evaluation writes results_boxes.pkl into pred
+    s1, _ = evaluate_box_dir(pred, gt, ["c0"], save_dir=pred, fast=True)
+    assert (pred / "results_boxes.pkl").exists()
+    # second evaluation must produce identical scores, not crash on the artifact
+    s2, _ = evaluate_box_dir(pred, gt, ["c0"], save_dir=pred, fast=True)
+    assert s1 == s2
