@@ -94,3 +94,17 @@ def main_env() -> None:
 
 if __name__ == "__main__":
     main_env()
+
+
+def main_searchpath() -> None:
+    """Config-source dump (``nndet_searchpath``, reference
+    ``scripts/utils.py:189-199``): shows where the composed config comes from
+    — built-in defaults, the optional per-task yaml, and CLI dot overrides."""
+    import os
+
+    print("Found config sources:")
+    print("---------------------")
+    print("defaults: nndetection_tpu.utils.config.DEFAULT_CONFIG")
+    task = os.environ.get("det_data", "<det_data unset>")
+    print(f"task yaml: <task_dir>/config.yaml under det_data={task}")
+    print("overrides: -o key=value CLI dot-list (applied last)")
