@@ -31,6 +31,7 @@ from nndetection_tpu.pipeline import (
     run_evaluate,
     run_predict_test,
     run_prep,
+    run_sweep,
     run_train,
 )
 from nndetection_tpu.planning.planner import Planner
@@ -133,6 +134,11 @@ def main():
         log(f"chunk done (through epoch {stop_after}); exiting for restart")
         sys.exit(3)
     log("training done")
+    # postprocessing-parameter sweep on the val split (the reference's
+    # train --sweep stage); consolidation then writes plan_inference.pkl
+    if os.environ.get("TOY_SWEEP", "") == "1":
+        run_sweep(task, model_dir, fold=0)
+        log("swept postprocessing parameters")
     run_consolidate(task, model_dir, num_folds=1)
     log("consolidated")
     pred_dir = run_predict_test(task, model_dir, num_folds=1)
