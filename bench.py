@@ -166,10 +166,20 @@ def main():
     )
     p.add_argument("--tta", action="store_true", help="infer: 8-way mirror TTA")
     p.add_argument(
+        "--prng", choices=["threefry", "rbg"], default="threefry",
+        help="PRNG implementation for the augmentation randomness (rbg is the "
+        "TPU-native XLA RngBitGenerator — faster, same key API)",
+    )
+    p.add_argument(
         "--models", type=int, default=1,
         help="infer: ensemble size (e.g. 5 for the 5-fold deployment point)",
     )
     args = p.parse_args()
+
+    if args.prng == "rbg":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     if args.mode == "infer":
         patch = tuple(args.patch) if args.patch else (96, 128, 128)
