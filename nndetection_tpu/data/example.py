@@ -8,7 +8,7 @@ use small cases.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -53,8 +53,14 @@ def generate_example_dataset(
     object_size: Sequence[int] = (8, 16),
     object_width: int = 2,
     seed_offset: int = 0,
+    spacing: Optional[Sequence[float]] = None,
 ) -> Path:
-    """Write a full toy task in the standard ``raw_splitted`` contract."""
+    """Write a full toy task in the standard ``raw_splitted`` contract.
+
+    ``spacing`` (z, y, x; default isotropic 1mm) is written into the NIfTI
+    headers — an anisotropic value (e.g. ``(4, 1, 1)``) drives the planner's
+    anisotropy rules (10th-percentile target spacing, dummy-2D augmentation,
+    separate-z resampling)."""
     task_dir = Path(task_dir)
     splitted = task_dir / "raw_splitted"
     for sub in ("imagesTr", "labelsTr", "imagesTs", "labelsTs"):
@@ -77,8 +83,9 @@ def generate_example_dataset(
         rng = np.random.RandomState(idx + seed_offset)
         data, mask, cls = generate_case(rng, image_size, object_size, object_width)
         cid = f"case_{idx}"
-        nifti.save(images_dir / f"{cid}_0000.nii.gz", data)
-        nifti.save(labels_dir / f"{cid}.nii.gz", mask)
+        sp = np.asarray(spacing, np.float64) if spacing is not None else None
+        nifti.save(images_dir / f"{cid}_0000.nii.gz", data, spacing=sp)
+        nifti.save(labels_dir / f"{cid}.nii.gz", mask, spacing=sp)
         save_json({"instances": {"1": cls}}, labels_dir / f"{cid}.json")
 
     for i in range(num_train):
