@@ -27,16 +27,19 @@ def main():
     from nndetection_tpu.train.trainer import Trainer, TrainerConfig
 
     patch = (96, 128, 128)
-    cfg = luna_cfg(patch)
+    batch = int(os.environ.get("PROF_BATCH", 4))
+    remat = os.environ.get("PROF_REMAT", "1") == "1"
+    cfg = luna_cfg(patch, remat=remat)
+    log(f"profiling batch={batch} remat={remat}")
     tr = Trainer(
         cfg,
-        TrainerConfig(batch_size=4, warm_iterations=10),
+        TrainerConfig(batch_size=batch, warm_iterations=10),
         mesh=make_mesh(n_data=1),
         augment_cfg=AugmentConfig(patch_size=cfg.patch_size),
     )
     state = tr.init_state()
     gp = get_generator_patch_size(patch)
-    db = shard_batch(tr.mesh, make_batch(np.random.RandomState(0), 4, gp))
+    db = shard_batch(tr.mesh, make_batch(np.random.RandomState(0), batch, gp))
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     state, losses = tr._train_step(state, db, key)
