@@ -311,3 +311,20 @@ class TestDevicePatchPool:
         assert changed
         b = pool.generate_batch()
         assert b["images"].shape == (2, 12, 12, 12, 2)
+
+
+class TestExampleSpacing:
+    def test_generator_writes_spacing(self, tmp_path):
+        """The toy generator's ``spacing`` lands in the NIfTI headers (drives
+        the planner's anisotropy rules; validated on hardware in round 2)."""
+        from nndetection_tpu.data import nifti
+        from nndetection_tpu.data.example import generate_example_dataset
+
+        task = generate_example_dataset(
+            tmp_path / "Task000D3_Example", num_train=1, num_test=0,
+            image_size=(8, 16, 16), object_size=(3, 5), object_width=1,
+            spacing=(4.0, 1.0, 1.0),
+        )
+        img = task / "raw_splitted" / "imagesTr" / "case_0_0000.nii.gz"
+        _, spacing, _ = nifti.load(img)
+        np.testing.assert_allclose(spacing, [4.0, 1.0, 1.0])
