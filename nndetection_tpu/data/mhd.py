@@ -79,6 +79,49 @@ def load(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.ascontiguousarray(data), spacing_ijk[::-1].copy(), origin
 
 
+_MET_NAMES = {np.dtype(v): k for k, v in _MET_DTYPES.items()}
+
+
+def save(
+    path,
+    data_kji: np.ndarray,
+    spacing_kji: np.ndarray,
+    origin_xyz: np.ndarray,
+    compressed: bool = True,
+) -> None:
+    """Write an .mhd volume (inverse of :func:`load`).
+
+    ``data_kji`` is ``[k, j, i]`` indexed; header fields are written in the
+    MetaImage x-fastest convention (``DimSize = i j k``,
+    ``ElementSpacing = x y z``). Data goes to a sibling ``.zraw`` (zlib) or
+    ``.raw`` file.
+    """
+    path = Path(path)
+    data_kji = np.ascontiguousarray(data_kji)
+    met_type = _MET_NAMES[np.dtype(data_kji.dtype)]
+    ext = ".zraw" if compressed else ".raw"
+    data_name = path.stem + ext
+    raw = data_kji.tobytes()
+    if compressed:
+        raw = zlib.compress(raw, level=1)
+    (path.parent / data_name).write_bytes(raw)
+    spacing_xyz = np.asarray(spacing_kji, np.float64)[::-1]
+    shape_ijk = list(reversed(data_kji.shape))
+    header = [
+        "ObjectType = Image",
+        f"NDims = {data_kji.ndim}",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+        f"CompressedData = {compressed}",
+        f"DimSize = {' '.join(str(int(s)) for s in shape_ijk)}",
+        f"ElementSpacing = {' '.join(f'{s:.6f}' for s in spacing_xyz)}",
+        f"Offset = {' '.join(f'{float(o):.6f}' for o in np.asarray(origin_xyz))}",
+        f"ElementType = {met_type}",
+        f"ElementDataFile = {data_name}",
+    ]
+    path.write_text("\n".join(header) + "\n")
+
+
 def world_to_voxel(
     world_xyz: np.ndarray, origin_xyz: np.ndarray, spacing_kji: np.ndarray
 ) -> np.ndarray:

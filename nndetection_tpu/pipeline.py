@@ -236,6 +236,31 @@ def build_loaders(
     return train_loader, val_loader
 
 
+def mesh_for_plan(plan: Plan, batch_size: int):
+    """Build the device mesh a plan asks for. Plans with ``n_model > 1``
+    (planner-selected spatial partitioning: the pinned patch exceeded
+    single-chip HBM) get a (data, model) mesh; others return ``None`` and the
+    trainer builds its default data-parallel mesh. ``getattr``: plan pickles
+    from before the field default to 1."""
+    n_model = getattr(plan, "n_model", 1)
+    if n_model <= 1:
+        return None
+    import math
+
+    import jax
+
+    from nndetection_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < n_model:
+        raise RuntimeError(
+            f"plan requires a model-axis of {n_model} but only "
+            f"{n_dev} device(s) are visible"
+        )
+    n_data = math.gcd(batch_size, max(1, n_dev // n_model))
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
 def run_train(
     task_dir,
     model_dir,
@@ -293,7 +318,10 @@ def run_train(
         dummy_2d=plan.do_dummy_2d,
         mask_norm_zero=plan.use_nonzero_mask,
     )
-    trainer = Trainer(model_cfg, tcfg, output_dir=out_dir, augment_cfg=aug_cfg)
+    mesh = mesh_for_plan(plan, batch_size)
+    trainer = Trainer(
+        model_cfg, tcfg, mesh=mesh, output_dir=out_dir, augment_cfg=aug_cfg
+    )
     train_loader, val_loader = build_loaders(
         plan,
         prep_dir / plan.plan_id / "imagesTr",
@@ -480,6 +508,49 @@ def run_consolidate(
             save_dir=out,
         )
         sweeper.run_postprocessing_sweep()
+    return out
+
+
+def run_predict_val(
+    task_dir,
+    model_dir,
+    fold: int,
+    plan_id: str = "D3V001_3d",
+    tta: bool = True,
+    restore: bool = True,
+    ensembler: str = "BoxEnsemblerSelective",
+) -> Path:
+    """Predict one fold's validation split with that fold's model, restored to
+    the original image geometry — the cross-validation prediction mode used
+    for LUNA-style FROC/CPM scoring (the reference's LUNA16 result is CV:
+    ``/root/reference/docs/results/nnDetectionV001.md:107``). Uses the
+    consolidated swept parameters when present."""
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    prep_dir = task_dir / "preprocessed"
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    fold_dir = model_dir / f"fold{fold}"
+    bundle = load_model_bundle(fold_dir / "model_last.ckpt", name=f"fold{fold}")
+    splits = make_splits([], prep_dir / "splits_final.pkl")
+    params = None
+    for plan_inf in (
+        model_dir / "consolidated" / "plan_inference.pkl",
+        fold_dir / "plan_inference.pkl",
+    ):
+        if plan_inf.exists():
+            params = load_pickle(plan_inf)["parameters"]
+            break
+    out = fold_dir / "val_predictions"
+    predict_dir(
+        [bundle],
+        prep_dir / plan.plan_id / "imagesTr",
+        out,
+        case_ids=splits[fold]["val"],
+        tta=tta,
+        restore=restore,
+        ensembler_parameters=params,
+        batch_size=plan.batch_size,
+        ensembler=ensembler,
+    )
     return out
 
 

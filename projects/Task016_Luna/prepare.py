@@ -128,12 +128,88 @@ def export_cpm(pred_dir: Path, labels_dir: Path, out_csv: Path, score_thresh=0.0
     print(f"wrote {len(rows)} predictions -> {out_csv}")
 
 
+FPPI_POINTS = (0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0)
+
+
+def score_cpm(pred_csv, annotations_csv, num_scans=None):
+    """Score a CPM-format prediction csv against ``annotations.csv`` with the
+    official LUNA16 FROC semantics (``evaluationScript/noduleCADEvaluation``):
+    a candidate is a hit when its center lies within ``diameter/2`` of an
+    annotation center; every hit is removed from the FP pool; an annotation's
+    detection probability is the max over its hits; sensitivity is
+    interpolated at FPPI {1/8, 1/4, 1/2, 1, 2, 4, 8}; CPM = mean sensitivity.
+
+    ``num_scans`` must be the TOTAL number of scored scans (scans without
+    predictions or annotations still count toward the FP-per-scan rate).
+    """
+    ann = load_annotations(annotations_csv)
+    preds = defaultdict(list)
+    with open(pred_csv) as f:
+        for row in csv.DictReader(f):
+            preds[row["seriesuid"]].append(
+                (float(row["coordX"]), float(row["coordY"]),
+                 float(row["coordZ"]), float(row["probability"]))
+            )
+    if num_scans is None:
+        num_scans = len(set(preds) | set(ann))
+
+    hit_probs = []  # best prob per annotation (-inf if missed)
+    fp_probs = []
+    for cid in set(preds) | set(ann):
+        cand = np.asarray(preds.get(cid, []), np.float64).reshape(-1, 4)
+        nodules = np.asarray(ann.get(cid, []), np.float64).reshape(-1, 4)
+        if len(nodules) == 0:
+            fp_probs.extend(cand[:, 3].tolist())
+            continue
+        if len(cand) == 0:
+            hit_probs.extend([-np.inf] * len(nodules))
+            continue
+        d2 = (
+            (cand[:, None, :3] - nodules[None, :, :3]) ** 2
+        ).sum(-1)  # [cand, nodule]
+        within = d2 <= (nodules[None, :, 3] / 2.0) ** 2
+        for j in range(len(nodules)):
+            hits = cand[within[:, j], 3]
+            hit_probs.append(float(hits.max()) if len(hits) else -np.inf)
+        fp_probs.extend(cand[~within.any(axis=1), 3].tolist())
+
+    hit_probs = np.asarray(hit_probs)
+    fp_probs = np.asarray(sorted(fp_probs))
+    n_ann = len(hit_probs)
+    thresholds = np.unique(
+        np.concatenate([hit_probs[np.isfinite(hit_probs)], fp_probs])
+    )[::-1]
+    if n_ann == 0 or len(thresholds) == 0:
+        return {"cpm": 0.0, "froc": {str(f): 0.0 for f in FPPI_POINTS}}
+    sens = [(hit_probs >= t).mean() for t in thresholds]
+    fppi = [
+        (len(fp_probs) - np.searchsorted(fp_probs, t, side="left")) / num_scans
+        for t in thresholds
+    ]
+    order = np.argsort(fppi)
+    fppi = np.asarray(fppi)[order]
+    sens = np.asarray(sens)[order]
+    froc = {
+        str(f): float(np.interp(f, fppi, sens, left=0.0, right=sens[-1]))
+        for f in FPPI_POINTS
+    }
+    cpm = float(np.mean(list(froc.values())))
+    return {"cpm": cpm, "froc": froc, "num_annotations": int(n_ann),
+            "num_scans": int(num_scans), "num_fps": int(len(fp_probs))}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--source", type=str, help="LUNA16 root (subset*/, annotations.csv)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--export-cpm", nargs=3, metavar=("PRED_DIR", "LABELS_DIR", "OUT_CSV"))
+    p.add_argument("--score-cpm", nargs=2, metavar=("PRED_CSV", "ANNOTATIONS_CSV"))
+    p.add_argument("--num-scans", type=int, default=None)
     args = p.parse_args()
+    if args.score_cpm:
+        result = score_cpm(*args.score_cpm, num_scans=args.num_scans)
+        print(result)
+        return
     if args.export_cpm:
         export_cpm(*args.export_cpm)
         return
