@@ -57,6 +57,44 @@ def evaluate_box_dir(
     return scores, curves
 
 
+def evaluate_case_dir(
+    pred_dir,
+    gt_dir,
+    classes: Sequence[str],
+    target_class: Optional[int] = None,
+    save_dir=None,
+    gt_suffix: str = "_boxes_gt.npz",
+) -> Dict[str, float]:
+    """Patient-level evaluation over a prediction directory
+    (``/root/reference/nndet/evaluator/registry.py:89-131``): reduce each
+    case's detections to per-class max box scores and score patient
+    classification against the GT-derived target."""
+    from nndetection_tpu.evaluator.case import CaseEvaluator
+
+    pred_dir, gt_dir = Path(pred_dir), Path(gt_dir)
+    evaluator = CaseEvaluator(classes, target_class=target_class)
+    case_ids = sorted(
+        p.name[: -len("_boxes.pkl")]
+        for p in pred_dir.glob("*_boxes.pkl")
+        if p.name != "results_boxes.pkl"
+    )
+    if not case_ids:
+        raise FileNotFoundError(f"no *_boxes.pkl predictions in {pred_dir}")
+    for cid in case_ids:
+        pred = load_pickle(pred_dir / f"{cid}_boxes.pkl")
+        with np.load(gt_dir / f"{cid}{gt_suffix}") as f:
+            gt_classes = f["classes"]
+        evaluator.add_case(
+            pred_scores=np.asarray(pred["pred_scores"]),
+            pred_labels=np.asarray(pred["pred_labels"]),
+            gt_classes=gt_classes,
+        )
+    scores = evaluator.finish_online_evaluation()
+    if save_dir is not None:
+        save_json(scores, Path(save_dir) / "results_case.json")
+    return scores
+
+
 def evaluate_seg_dir(
     pred_dir, gt_dir, save_dir=None
 ) -> Dict[str, float]:

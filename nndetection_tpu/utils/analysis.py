@@ -103,12 +103,20 @@ def run_analysis_suite(
                 cid = p.name[: -len("_boxes.pkl")]
                 pred = load_pickle(p)
                 with np.load(gt_dir / f"{cid}_boxes_gt.npz") as f:
+                    num_gt = int(len(f["classes"]))
                     res = analyze_case(
                         pred, f["boxes"], f["classes"], it, st
                     )
                 for k in ("tp", "fp", "fn"):
                     agg[k] += res[k]
                 overview[cid] = {k: res[k] for k in ("tp", "fp", "fn")}
+                overview[cid]["num_gt"] = num_gt
+                scores_arr = np.asarray(pred["pred_scores"])
+                overview[cid]["num_pred"] = int(len(scores_arr))
+                overview[cid]["num_pred_kept"] = int((scores_arr >= st).sum())
+                overview[cid]["max_score"] = (
+                    float(scores_arr.max()) if len(scores_arr) else 0.0
+                )
                 for pc, gc in res["confusion_pairs"]:
                     if pc < num_classes and gc < num_classes:
                         confusion[gc, pc] += 1
@@ -126,6 +134,17 @@ def run_analysis_suite(
             )[:top_n]
             save_json(overview, sub / "analysis.json")
             save_json({"worst_cases": worst}, sub / "analysis_ids.json")
+            # per-case overview CSV (reference ``collect_overview``,
+            # ``/root/reference/nndet/utils/analysis.py:45-151``)
+            import csv as _csv
+
+            with open(sub / "overview.csv", "w", newline="") as fcsv:
+                cols = ["case_id", "num_gt", "num_pred", "num_pred_kept",
+                        "tp", "fp", "fn", "max_score"]
+                w = _csv.writer(fcsv)
+                w.writerow(cols)
+                for cid in sorted(overview):
+                    w.writerow([cid] + [overview[cid][c] for c in cols[1:]])
             key = f"iou_{it:.2f}_score_{st:.2f}"
             summary[key] = {
                 **agg,

@@ -195,3 +195,73 @@ def test_evaluate_box_dir_ignores_results_artifact(tmp_path):
     # second evaluation must produce identical scores, not crash on the artifact
     s2, _ = evaluate_box_dir(pred, gt, ["c0"], save_dir=pred, fast=True)
     assert s1 == s2
+
+
+def test_evaluate_case_dir(tmp_path):
+    """Patient-level dir runner: case with a correct high-score detection vs
+    an empty-GT case with a low-score FP -> separable -> AUROC 1."""
+    import numpy as np
+
+    from nndetection_tpu.evaluator.registry import evaluate_case_dir
+    from nndetection_tpu.utils.io import save_pickle
+
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(); gt.mkdir()
+    save_pickle(
+        {"pred_boxes": np.asarray([[1, 1, 5, 5, 1, 5]], np.float32),
+         "pred_scores": np.asarray([0.9], np.float32),
+         "pred_labels": np.asarray([0], np.int64)},
+        pred / "case0_boxes.pkl",
+    )
+    np.savez(gt / "case0_boxes_gt.npz",
+             boxes=np.asarray([[1, 1, 5, 5, 1, 5]], np.float32),
+             classes=np.asarray([0], np.int64))
+    save_pickle(
+        {"pred_boxes": np.asarray([[2, 2, 6, 6, 2, 6]], np.float32),
+         "pred_scores": np.asarray([0.1], np.float32),
+         "pred_labels": np.asarray([0], np.int64)},
+        pred / "case1_boxes.pkl",
+    )
+    np.savez(gt / "case1_boxes_gt.npz",
+             boxes=np.zeros((0, 6), np.float32),
+             classes=np.zeros((0,), np.int64))
+    scores = evaluate_case_dir(pred, gt, ["c0"], save_dir=pred)
+    assert scores["case_auroc"] == 1.0
+    assert (pred / "results_case.json").exists()
+
+
+def test_analysis_suite_overview_csv(tmp_path):
+    """The per-case overview CSV joins pred/gt counts per case."""
+    import csv
+
+    import numpy as np
+
+    from nndetection_tpu.utils.analysis import run_analysis_suite
+    from nndetection_tpu.utils.io import save_pickle
+
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(); gt.mkdir()
+    save_pickle(
+        {"pred_boxes": np.asarray([[1, 1, 5, 5, 1, 5], [20, 20, 24, 24, 20, 24]],
+                                  np.float32),
+         "pred_scores": np.asarray([0.9, 0.3], np.float32),
+         "pred_labels": np.asarray([0, 0], np.int64)},
+        pred / "case0_boxes.pkl",
+    )
+    np.savez(gt / "case0_boxes_gt.npz",
+             boxes=np.asarray([[1, 1, 5, 5, 1, 5]], np.float32),
+             classes=np.asarray([0], np.int64))
+    run_analysis_suite(pred, gt, tmp_path / "analysis", num_classes=1,
+                       iou_threshs=(0.1,), score_threshs=(0.5,),
+                       make_plots=False)
+    csv_path = tmp_path / "analysis" / "iou_0.1_score_0.5" / "overview.csv"
+    assert csv_path.exists()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["case_id"] == "case0"
+    assert rows[0]["num_gt"] == "1"
+    assert rows[0]["num_pred"] == "2"
+    assert rows[0]["num_pred_kept"] == "1"  # score 0.3 below thresh 0.5
+    assert rows[0]["tp"] == "1" and rows[0]["fp"] == "0"
