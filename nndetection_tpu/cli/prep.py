@@ -27,17 +27,25 @@ def main() -> None:
     parser = base_parser("Plan and preprocess a dataset")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--full_check", action="store_true")
+    parser.add_argument(
+        "--force_patch_size", type=int, nargs=3, default=None,
+        help="pin the patch (transposed z y x). A patch too large for one "
+        "chip is planned spatially partitioned (plan.n_model in {2,4}) "
+        "instead of shrunk",
+    )
     args = parser.parse_args()
     cfg = compose(overrides=args.overrides)
 
     task_dir = resolve_task(args.task)
     setup_logging(task_dir / "preprocessed" / "prep.log")
     check_dataset(task_dir, full=args.full_check)
-    plan = run_prep(task_dir, num_workers=args.num_workers, planner=Planner())
+    planner = Planner(force_patch_size=args.force_patch_size)
+    plan = run_prep(task_dir, num_workers=args.num_workers, planner=planner)
     log.info(
         f"plan {plan.plan_id}: patch={plan.patch_size} batch={plan.batch_size} "
         f"spacing={plan.target_spacing} anchors_score={plan.anchor_score:.3f} "
         f"mem={plan.mem_estimate_bytes / 1e9:.2f}GB lowres={plan.requires_lowres}"
+        f" n_model={getattr(plan, 'n_model', 1)}"
     )
 
 

@@ -69,6 +69,11 @@ class Plan:
     # when the no-remat step fits HBM (backward then reuses stored activations
     # instead of recomputing the forward — substantially faster)
     remat: bool = True
+    # spatial partitioning degree: >1 shards the patch's leading (z) axis
+    # over the mesh "model" axis with halo-exchange convs — emitted when a
+    # (forced) patch cannot fit one chip (SURVEY.md §2.11, the capability the
+    # reference lacks); the trainer builds the (data, model) mesh from this
+    n_model: int = 1
 
     @property
     def do_dummy_2d(self) -> bool:
@@ -115,17 +120,27 @@ class Planner:
         anchor_budget: int = 3000,
         plan_tag: str = "D3V001_3d",
         compile_validate: Any = "auto",
+        force_patch_size: Any = None,
+        max_model_axis: int = 4,
     ):
         """``compile_validate``: validate the final (patch, batch) decision by
         compiling the real train step and reading XLA's ``memory_analysis()``
         (the reference's live VRAM probe, TPU-style). ``"auto"`` enables it on
-        TPU backends only (CPU exposes no analysis); True/False force it."""
+        TPU backends only (CPU exposes no analysis); True/False force it.
+
+        ``force_patch_size``: user-pinned patch (transposed axis order). When
+        it cannot fit one chip at the planned batch, the planner emits
+        ``n_model`` in {2, 4} (capped by ``max_model_axis``) instead of
+        shrinking — the patch trains spatially partitioned over the mesh
+        "model" axis."""
         self.hbm_budget = hbm_budget
         self.batch_size = batch_size
         self.max_batch_size = max_batch_size
         self.anchor_budget = anchor_budget
         self.plan_tag = plan_tag
         self.compile_validate = compile_validate
+        self.force_patch_size = force_patch_size
+        self.max_model_axis = max_model_axis
 
     # ------------------------------------------------------------------
     def plan_target_spacing(self, all_spacings: np.ndarray) -> np.ndarray:
@@ -167,6 +182,10 @@ class Planner:
     ) -> Dict[str, Any]:
         """Patch/topology search loop: shrink the largest axis until the HBM
         estimate fits (``c002.py:165-227``)."""
+        if self.force_patch_size is not None:
+            return self._plan_forced_patch(
+                target_spacing, in_channels, num_classes
+            )
         patch = initial_patch_size(target_spacing, median_shape)
         while True:
             pool, kernels, must_div, patch_final = get_pool_and_conv_props(
@@ -215,6 +234,70 @@ class Planner:
                     arch, in_channels, num_classes, target_spacing
                 )
             patch = shrink_largest_axis(patch_final, must_div)
+
+    # ------------------------------------------------------------------
+    def _plan_forced_patch(
+        self,
+        target_spacing: np.ndarray,
+        in_channels: int,
+        num_classes: int,
+    ) -> Dict[str, Any]:
+        """A user-pinned patch is honored, not shrunk: when it cannot fit a
+        single chip at the planned batch size, the plan gains ``n_model``
+        (2 or 4) — the leading (z) axis is sharded over the mesh "model" axis
+        with halo-exchange convolutions. The z extent is rounded UP to the
+        next multiple that keeps every encoder level's z divisible by
+        ``n_model`` (the trainer's shardability requirement)."""
+        for n_model in (1, 2, 4):
+            if n_model > self.max_model_axis:
+                break
+            patch = np.asarray(self.force_patch_size, dtype=np.float64)
+            # iterate: rounding z for the model axis can change the pooling
+            # decision; recompute props until stable (>=1 extra pass)
+            for _ in range(3):
+                pool, kernels, must_div, patch_final = get_pool_and_conv_props(
+                    target_spacing, patch
+                )
+                unit = int(must_div[0]) * n_model
+                z_rounded = int(-(-int(patch_final[0]) // unit) * unit)
+                if z_rounded == int(patch_final[0]):
+                    break
+                patch = np.asarray(
+                    [z_rounded, *[int(v) for v in patch_final[1:]]], np.float64
+                )
+            decoder_levels = plan_decoder_levels(len(kernels))
+            est = analytic_estimate(
+                # per-chip activation footprint: each model shard holds a z-slab
+                patch_size=[int(patch_final[0]) // n_model, *[int(v) for v in patch_final[1:]]],
+                batch_size=self.batch_size,
+                in_channels=in_channels,
+                conv_kernels=kernels,
+                strides=pool,
+                decoder_levels=decoder_levels,
+                num_classes=num_classes,
+            )
+            if est.fits(self.hbm_budget):
+                arch = {
+                    "patch_size": [int(v) for v in patch_final],
+                    "pool_strides": pool,
+                    "conv_kernels": kernels,
+                    "decoder_levels": decoder_levels,
+                    "batch_size": self.batch_size,
+                    "n_model": n_model,
+                    "mem_estimate_bytes": est.total_bytes,
+                    "mem_compiled_bytes": 0,
+                }
+                if n_model == 1:
+                    # single-chip: confirm with the XLA compile probe as usual
+                    return self._compile_validate_arch(
+                        arch, in_channels, num_classes, target_spacing
+                    )
+                return arch
+        raise ValueError(
+            f"forced patch {list(self.force_patch_size)} does not fit the HBM "
+            f"budget even spatially partitioned over {self.max_model_axis} "
+            f"chips; reduce the patch or raise max_model_axis"
+        )
 
     # ------------------------------------------------------------------
     def _proxy_model_config(
@@ -428,6 +511,7 @@ class Planner:
             mem_compiled_bytes=arch.get("mem_compiled_bytes", 0),
             requires_lowres=requires_lowres,
             remat=arch.get("remat", True),
+            n_model=arch.get("n_model", 1),
         )
 
     def plan_lowres(self, plan: Plan, dataset_properties, info) -> Plan:

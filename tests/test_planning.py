@@ -4,6 +4,7 @@ import pytest
 from nndetection_tpu.data.dataset import DatasetInfo
 from nndetection_tpu.planning import (
     Planner,
+    Plan,
     analytic_estimate,
     get_pool_and_conv_props,
     initial_patch_size,
@@ -292,3 +293,91 @@ class TestRematPlanning:
         del restored.__dict__["remat"]  # simulate a pre-field pickle
         assert restored.remat is True
         assert restored.model_config().remat is True
+
+
+class TestForcedPatchSpatial:
+    """Planner-selected spatial partitioning (VERDICT r2 #6): a user-pinned
+    patch that exceeds single-chip HBM plans ``n_model`` in {2,4} instead of
+    shrinking."""
+
+    SPACING = np.ones(3)
+    MEDIAN = np.asarray([96.0, 192.0, 192.0])
+
+    def _arch(self, force, budget=None, max_model_axis=4):
+        kw = dict(force_patch_size=force, compile_validate=False,
+                  max_model_axis=max_model_axis)
+        if budget is not None:
+            kw["hbm_budget"] = budget
+        planner = Planner(**kw)
+        return planner.plan_architecture(self.SPACING, self.MEDIAN, 1, 1)
+
+    def test_fitting_patch_stays_single_chip(self):
+        arch = self._arch((32, 64, 64))
+        assert arch["n_model"] == 1
+        assert arch["patch_size"][1:] == [64, 64]
+
+    def test_oversized_patch_gets_model_axis(self):
+        ref = self._arch((64, 160, 160))
+        assert ref["n_model"] == 1
+        arch = self._arch((64, 160, 160),
+                          budget=int(ref["mem_estimate_bytes"] * 0.7))
+        assert arch["n_model"] == 2
+        # the patch was preserved (possibly z-rounded up), never shrunk
+        assert arch["patch_size"][0] >= 64
+        assert arch["patch_size"][1:] == [160, 160]
+        # trainer's shardability contract holds for the emitted plan
+        from nndetection_tpu.train.trainer import Trainer
+
+        planner = Planner(compile_validate=False)
+        cfg = planner._proxy_model_config(arch, 1, 1)
+        Trainer._check_spatial_shardable(cfg, arch["n_model"])  # no raise
+
+    def test_impossible_patch_raises(self):
+        ref = self._arch((64, 160, 160))
+        with pytest.raises(ValueError, match="spatially partitioned"):
+            self._arch((64, 160, 160),
+                       budget=int(ref["mem_estimate_bytes"] * 0.01),
+                       max_model_axis=2)
+
+    def test_plan_experiment_carries_n_model(self, rng):
+        info = DatasetInfo(task="T", modalities={0: "CT"}, labels={0: "a"})
+        props = TestPlanner._props(TestPlanner(), rng)
+        ref = Planner(
+            anchor_budget=50, force_patch_size=(64, 160, 160),
+            compile_validate=False,
+        ).plan_experiment(props, info)
+        assert getattr(ref, "n_model", 1) == 1
+        plan = Planner(
+            anchor_budget=50, force_patch_size=(64, 160, 160),
+            compile_validate=False,
+            hbm_budget=int(ref.mem_estimate_bytes * 0.7),
+        ).plan_experiment(props, info)
+        assert plan.n_model == 2
+
+    def test_mesh_for_plan(self):
+        import dataclasses
+
+        import jax
+
+        from nndetection_tpu.pipeline import mesh_for_plan
+
+        ref_arch = self._arch((64, 160, 160))
+        arch = self._arch((64, 160, 160),
+                          budget=int(ref_arch["mem_estimate_bytes"] * 0.7))
+        plan = Plan(
+            plan_id="T", dim=3, target_spacing=[1, 1, 1],
+            transpose_forward=[0, 1, 2], normalization_schemes=["CT"],
+            intensity_properties={}, use_nonzero_mask=False,
+            patch_size=arch["patch_size"], batch_size=4,
+            conv_kernels=arch["conv_kernels"],
+            pool_strides=arch["pool_strides"],
+            decoder_levels=arch["decoder_levels"],
+            anchors={"width": [[4.0]], "height": [[4.0]], "depth": [[4.0]]},
+            in_channels=1, num_classes=1, seg_classes=1,
+            n_model=arch["n_model"],
+        )
+        mesh = mesh_for_plan(plan, batch_size=4)
+        assert mesh is not None
+        assert dict(zip(mesh.axis_names, mesh.devices.shape))["model"] == 2
+        single = dataclasses.replace(plan, n_model=1)
+        assert mesh_for_plan(single, batch_size=4) is None
