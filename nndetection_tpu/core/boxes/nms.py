@@ -14,12 +14,25 @@ by ``keep[:max_out]``.
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from nndetection_tpu.core.boxes.ops import box_corners, box_iou, boxes_from_corners
+
+# NMS backend: "lax" (argmax-suppress scan) or "pallas" (single-invocation
+# VMEM-resident greedy kernel, ``ops/pallas_ops.py::nms_topk_pallas``).
+# Both have identical greedy semantics (tested against each other); the
+# choice is a measured performance decision per hardware.
+_NMS_IMPL = os.environ.get("NNDET_NMS_IMPL", "lax")
+
+
+def set_nms_impl(name: str) -> None:
+    global _NMS_IMPL
+    assert name in ("lax", "pallas"), name
+    _NMS_IMPL = name
 
 
 def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -48,6 +61,17 @@ def topk_nms(
         descending score.
     """
     n = boxes.shape[0]
+    if _NMS_IMPL == "pallas" and boxes.shape[-1] == 6:
+        from nndetection_tpu.ops.pallas_ops import nms_topk_pallas
+
+        idx, keep_valid = nms_topk_pallas(
+            boxes, scores, valid, iou_threshold, min(max_out, n)
+        )
+        if max_out > n:
+            pad = max_out - n
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
+            keep_valid = jnp.concatenate([keep_valid, jnp.zeros((pad,), bool)])
+        return idx, keep_valid
     boxes32 = boxes.astype(jnp.float32)
     masked = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
 

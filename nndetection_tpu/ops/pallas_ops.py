@@ -129,6 +129,92 @@ def iou_matrix_pallas(
     return out[:n, :m]
 
 
+def _nms_topk_kernel(b_ref, s_ref, out_idx_ref, out_valid_ref, max_out: int):
+    """Full truncated greedy NMS in ONE kernel invocation, VMEM-resident.
+
+    The lax formulation (``core/boxes/nms.py::topk_nms``) runs ``max_out``
+    XLA while iterations, each re-reading the boxes from HBM; here the
+    component-major boxes [8, N] and the score row [1, N] live in VMEM for
+    the whole scan: per iteration one vectorized argmax + one one-vs-all IoU,
+    zero HBM round-trips. Exact greedy semantics (strictly-greater
+    suppresses; invalid entries carry -inf scores).
+    """
+    b = b_ref[...]  # [8, N] f32, component-major
+    n = b.shape[1]
+    vol = (b[2] - b[0]) * (b[3] - b[1]) * (b[5] - b[4])  # [N]
+    thresh = s_ref[1, 0]
+
+    def step(i, scores):
+        # scores: [1, N] running masked scores
+        k = jnp.argmax(scores[0])
+        best = scores[0, k]
+        alive = best > -jnp.inf
+        sel = jax.lax.dynamic_slice(b, (0, k), (8, 1))  # [8, 1]
+        x1 = jnp.maximum(sel[0], b[0])
+        y1 = jnp.maximum(sel[1], b[1])
+        x2 = jnp.minimum(sel[2], b[2])
+        y2 = jnp.minimum(sel[3], b[3])
+        z1 = jnp.maximum(sel[4], b[4])
+        z2 = jnp.minimum(sel[5], b[5])
+        inter = (
+            jnp.maximum(x2 - x1, 0.0)
+            * jnp.maximum(y2 - y1, 0.0)
+            * jnp.maximum(z2 - z1, 0.0)
+        )
+        vol_k = (sel[2, 0] - sel[0, 0]) * (sel[3, 0] - sel[1, 0]) * (
+            sel[5, 0] - sel[4, 0]
+        )
+        union = jnp.maximum(vol_k + vol - inter, 1e-12)
+        suppress = (inter / union) > thresh
+        scores = jnp.where(
+            (suppress & alive)[None, :], -jnp.inf, scores
+        )
+        scores = jax.lax.dynamic_update_slice(
+            scores, jnp.full((1, 1), -jnp.inf, scores.dtype), (0, k)
+        )
+        out_idx_ref[0, i] = k.astype(jnp.int32)
+        out_valid_ref[0, i] = alive.astype(jnp.int32)
+        return scores
+
+    jax.lax.fori_loop(0, max_out, step, s_ref[0:1, :], unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "interpret"))
+def nms_topk_pallas(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in Pallas analog of :func:`core.boxes.nms.topk_nms`.
+
+    Returns ``(keep_idx [max_out] int32, keep_valid [max_out] bool)`` in
+    descending-score order with identical greedy semantics.
+    """
+    n = boxes.shape[0]
+    n_pad = _round_up(max(n, 8), 128)
+    comp = jnp.zeros((8, n_pad), jnp.float32)
+    comp = comp.at[:6, :n].set(boxes.astype(jnp.float32).T)
+    masked = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    srow = jnp.full((2, n_pad), -jnp.inf, jnp.float32)
+    srow = srow.at[0, :n].set(masked)
+    # row 1 smuggles the threshold in as data so the kernel stays shape-only
+    srow = srow.at[1, :].set(jnp.float32(iou_threshold))
+
+    out_idx, out_valid = pl.pallas_call(
+        functools.partial(_nms_topk_kernel, max_out=max_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+        ),
+        interpret=interpret,
+    )(comp, srow)
+    idx = jnp.clip(out_idx[0], 0, max(n - 1, 0))
+    return idx, out_valid[0].astype(bool)
+
+
 def _suppression_kernel(b_ref, thresh_ref, out_ref):
     """Upper-triangular suppression matrix tile: out[i, j] = 1 where box j
     (higher index = lower score) is suppressed by box i."""

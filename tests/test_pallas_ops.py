@@ -58,3 +58,54 @@ class TestSuppressionMatrix:
         got = order[keep].tolist()
         want = nms_np(boxes, scores, 0.25).tolist()
         assert got == want
+
+
+class TestNmsTopkPallas:
+    """The single-invocation VMEM-resident greedy NMS must reproduce
+    ``topk_nms``'s exact semantics (interpret mode on CPU)."""
+
+    def _random_boxes(self, rng, n):
+        ctr = rng.uniform(10, 90, (n, 3))
+        sz = rng.uniform(2, 25, (n, 3))
+        boxes = np.stack([
+            ctr[:, 0] - sz[:, 0], ctr[:, 1] - sz[:, 1],
+            ctr[:, 0] + sz[:, 0], ctr[:, 1] + sz[:, 1],
+            ctr[:, 2] - sz[:, 2], ctr[:, 2] + sz[:, 2],
+        ], axis=1).astype(np.float32)
+        return boxes
+
+    @pytest.mark.parametrize("n,max_out", [(50, 10), (200, 64), (333, 100)])
+    def test_matches_lax_topk_nms(self, n, max_out):
+        from nndetection_tpu.core.boxes.nms import topk_nms
+        from nndetection_tpu.ops.pallas_ops import nms_topk_pallas
+
+        rng = np.random.RandomState(n)
+        boxes = self._random_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        for thresh in (0.1, 0.5):
+            ref_idx, ref_valid = topk_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                thresh, max_out,
+            )
+            got_idx, got_valid = nms_topk_pallas(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                thresh, max_out, interpret=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref_valid), np.asarray(got_valid)
+            )
+            m = np.asarray(ref_valid)
+            np.testing.assert_array_equal(
+                np.asarray(ref_idx)[m], np.asarray(got_idx)[m]
+            )
+
+    def test_all_invalid(self):
+        from nndetection_tpu.ops.pallas_ops import nms_topk_pallas
+
+        boxes = np.zeros((16, 6), np.float32)
+        got_idx, got_valid = nms_topk_pallas(
+            jnp.asarray(boxes), jnp.zeros(16), jnp.zeros(16, bool), 0.5, 8,
+            interpret=True,
+        )
+        assert not np.asarray(got_valid).any()
