@@ -322,6 +322,19 @@ def run_train(
     trainer = Trainer(
         model_cfg, tcfg, mesh=mesh, output_dir=out_dir, augment_cfg=aug_cfg
     )
+    # size the device patch pool from what the compiled step leaves free:
+    # the XLA memory analysis (plan.mem_compiled_bytes) is the step's peak;
+    # pool cases are additional live buffers on the same chip
+    pool_budget = 4 * 1024**3
+    compiled = int(getattr(plan, "mem_compiled_bytes", 0) or 0)
+    if compiled:
+        from nndetection_tpu.planning.estimator import V5E_HBM_BYTES
+
+        # the probe ran at plan.batch_size; the step's footprint is
+        # activation-dominated, so scale to the actual batch
+        compiled = int(compiled * batch_size / max(plan.batch_size, 1))
+        free = int(V5E_HBM_BYTES * 0.95) - compiled - (1 << 29)
+        pool_budget = max(1 << 29, min(pool_budget, free))
     train_loader, val_loader = build_loaders(
         plan,
         prep_dir / plan.plan_id / "imagesTr",
@@ -332,6 +345,7 @@ def run_train(
         augment=augment,
         seed=tcfg.seed + fold,
         aug_cfg=aug_cfg if augment else None,
+        pool_hbm_budget=pool_budget,
     )
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
 
