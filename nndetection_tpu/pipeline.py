@@ -325,9 +325,13 @@ def run_train(
     # size the device patch pool from what the compiled step leaves free:
     # the XLA memory analysis (plan.mem_compiled_bytes) is the step's peak;
     # pool cases are additional live buffers on the same chip
+    import os as _os
+
     pool_budget = 4 * 1024**3
+    if _os.environ.get("NNDET_POOL_BYTES"):
+        pool_budget = int(_os.environ["NNDET_POOL_BYTES"])
     compiled = int(getattr(plan, "mem_compiled_bytes", 0) or 0)
-    if compiled:
+    if compiled and not _os.environ.get("NNDET_POOL_BYTES"):
         from nndetection_tpu.planning.estimator import V5E_HBM_BYTES
 
         # the probe ran at plan.batch_size; the step's footprint is

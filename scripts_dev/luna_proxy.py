@@ -183,7 +183,7 @@ def main():
                 log(
                     f"fold {fold} epoch {epoch}: "
                     f"mAP={metrics.get('mAP_IoU_0.10_0.50_0.05_MaxDet_100', float('nan')):.4f} "
-                    f"loss={metrics.get('train_loss', float('nan')):.4f} "
+                    f"loss={metrics.get('train_total', float('nan')):.4f} "
                     f"nonfinite={metrics.get('train_nonfinite_steps', 0):.0f} "
                     f"rss={row['rss_gb']:.2f}GB"
                 )
