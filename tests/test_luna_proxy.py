@@ -134,3 +134,76 @@ def test_export_cpm_perfect_predictions(tmp_path):
     task016.export_cpm(pred_dir, labels_dir, out_csv)
     res = task016.score_cpm(out_csv, src / "annotations.csv", num_scans=5)
     assert res["cpm"] == pytest.approx(1.0)
+
+
+def test_score_cpm_matches_bruteforce(tmp_path):
+    """Randomized cross-check of the FROC/CPM scorer against an independent
+    brute-force threshold sweep."""
+    rng = np.random.RandomState(11)
+    task016 = _load_task016()
+    n_scans = 12
+    ann_rows, pred_rows = [], []
+    anns, preds = {}, {}
+    for s in range(n_scans):
+        cid = f"s{s}"
+        n_ann = rng.randint(0, 3)
+        a = []
+        for _ in range(n_ann):
+            c = rng.uniform(0, 200, 3)
+            d = rng.uniform(4, 20)
+            ann_rows.append([cid, *c.tolist(), d])
+            a.append((c, d))
+        anns[cid] = a
+        n_pred = rng.randint(0, 8)
+        p = []
+        for _ in range(n_pred):
+            if a and rng.rand() < 0.5:
+                base, d = a[rng.randint(len(a))]
+                c = base + rng.uniform(-0.4, 0.4, 3) * d / 2
+            else:
+                c = rng.uniform(0, 200, 3)
+            prob = float(rng.rand())
+            pred_rows.append([cid, *c.tolist(), prob])
+            p.append((c, prob))
+        preds[cid] = p
+
+    import csv as _csv
+
+    ann_csv, pred_csv = tmp_path / "a.csv", tmp_path / "p.csv"
+    with open(ann_csv, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["seriesuid", "coordX", "coordY", "coordZ", "diameter_mm"])
+        w.writerows(ann_rows)
+    with open(pred_csv, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["seriesuid", "coordX", "coordY", "coordZ", "probability"])
+        w.writerows(pred_rows)
+
+    res = task016.score_cpm(pred_csv, ann_csv, num_scans=n_scans)
+
+    # brute force: explicit hit assignment + threshold sweep + interpolation
+    hit_probs, fp_probs = [], []
+    for cid in set(list(anns) + list(preds)):
+        a, p = anns.get(cid, []), preds.get(cid, [])
+        used = [False] * len(p)
+        for c_a, d in a:
+            best = -np.inf
+            for i, (c_p, prob) in enumerate(p):
+                if np.linalg.norm(c_p - c_a) <= d / 2:
+                    used[i] = True
+                    best = max(best, prob)
+            hit_probs.append(best)
+        fp_probs.extend(prob for i, (c, prob) in enumerate(p) if not used[i])
+    hp, fp = np.asarray(hit_probs), np.asarray(fp_probs)
+    ts = np.unique(np.concatenate([hp[np.isfinite(hp)], fp]))[::-1]
+    sens = np.asarray([(hp >= t).mean() for t in ts])
+    fppi = np.asarray([(fp >= t).sum() / n_scans for t in ts])
+    order = np.argsort(fppi)
+    expect = {
+        str(f): float(np.interp(f, fppi[order], sens[order],
+                                left=0.0, right=sens[order][-1]))
+        for f in task016.FPPI_POINTS
+    }
+    for k, v in expect.items():
+        assert res["froc"][k] == pytest.approx(v, abs=1e-9), k
+    assert res["cpm"] == pytest.approx(float(np.mean(list(expect.values()))), abs=1e-9)
