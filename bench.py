@@ -241,7 +241,15 @@ def main():
         "--models", type=int, default=1,
         help="infer: ensemble size (e.g. 5 for the 5-fold deployment point)",
     )
+    p.add_argument(
+        "--in_stats", choices=["two_pass", "one_pass"], default=None,
+        help="instance-norm statistics schedule (one_pass = shifted single "
+        "sweep, saves one HBM read of every normalized activation)",
+    )
     args = p.parse_args()
+
+    if args.in_stats:
+        os.environ["NNDET_IN_STATS"] = args.in_stats
 
     if args.prng == "rbg":
         import jax

@@ -10,6 +10,7 @@ Conv+GroupNorm+ReLU (heads); norm/act are toggleable exactly like
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -120,10 +121,46 @@ def conv_layer(
     )
 
 
+def _shifted_stats(x: jnp.ndarray, axes: Tuple[int, ...]):
+    """One-pass instance-norm statistics via a shifted second moment.
+
+    The two-pass centered formula reads the activation twice (mean pass +
+    variance pass) — measured at ~0.18 s/step of bandwidth-bound
+    convert/multiply reduce fusions in the no-remat train-step profile. The
+    raw one-pass E[x^2]-E[x]^2 cancels catastrophically for high-mean /
+    low-variance activations (a real rsqrt blow-up, see the class docstring
+    below). This takes the standard middle road: shift by a cheap
+    stop-gradient estimate of the mean from a 1/64 strided subsample, then
+    accumulate sum(t) and sum(t^2) of t = x - s together — XLA multi-output
+    fusion computes both reductions in ONE read of x. With |E[t]| ~
+    sigma/sqrt(n_sub), the cancellation term E[t]^2 is ~1/n_sub of E[t^2]:
+    numerically benign. Gradients are exact because s is stopped
+    (mean = s + E[t] has d/dx = 1/N independent of s).
+    """
+    sub = x[
+        tuple(
+            slice(None, None, max(1, x.shape[a] // 16)) if a in axes else slice(None)
+            for a in range(x.ndim)
+        )
+    ]
+    s = jax.lax.stop_gradient(
+        jnp.mean(sub, axis=axes, keepdims=True, dtype=jnp.float32)
+    )
+    t = x.astype(jnp.float32) - s
+    m1 = jnp.mean(t, axis=axes, keepdims=True)
+    m2 = jnp.mean(t * t, axis=axes, keepdims=True)
+    mean = s + m1
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    return mean, var
+
+
 class InstanceNorm(nn.Module):
     """Instance normalization over spatial axes (per sample, per channel).
 
-    Stats are computed in float32 regardless of input dtype.
+    Stats are computed in float32 regardless of input dtype. Two stats
+    schedules are provided: the default two-pass centered formula and a
+    one-pass shifted formula (``NNDET_IN_STATS=one_pass``) that saves one
+    full HBM read of the activation per norm (see :func:`_shifted_stats`).
     """
 
     epsilon: float = 1e-5
@@ -159,9 +196,14 @@ class InstanceNorm(nn.Module):
             return spatial_instance_norm(
                 x, scale=gamma, bias=beta, epsilon=self.epsilon, axis_name=ax
             ).astype(self.dtype)
-        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-        diff = x - mean.astype(x.dtype)
-        var = jnp.mean(jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32)
+        if os.environ.get("NNDET_IN_STATS", "two_pass") == "one_pass":
+            mean, var = _shifted_stats(x, axes)
+        else:
+            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+            diff = x - mean.astype(x.dtype)
+            var = jnp.mean(
+                jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32
+            )
         inv = jax.lax.rsqrt(var + self.epsilon)
         scale = inv
         if self.use_scale:
