@@ -135,48 +135,66 @@ def _nms_topk_kernel(b_ref, s_ref, out_idx_ref, out_valid_ref, max_out: int):
     The lax formulation (``core/boxes/nms.py::topk_nms``) runs ``max_out``
     XLA while iterations, each re-reading the boxes from HBM; here the
     component-major boxes [8, N] and the score row [1, N] live in VMEM for
-    the whole scan: per iteration one vectorized argmax + one one-vs-all IoU,
-    zero HBM round-trips. Exact greedy semantics (strictly-greater
-    suppresses; invalid entries carry -inf scores).
+    the whole scan: per iteration one max-reduce + one one-vs-all IoU, zero
+    HBM round-trips. Exact greedy semantics (strictly-greater suppresses;
+    invalid entries carry -inf scores). Mosaic-lowerable by construction:
+    no gathers/dynamic slices — the selected box is extracted with a one-hot
+    masked reduction and the per-iteration outputs accumulate in loop-carried
+    rows, everything 2D.
     """
     b = b_ref[...]  # [8, N] f32, component-major
     n = b.shape[1]
-    vol = (b[2] - b[0]) * (b[3] - b[1]) * (b[5] - b[4])  # [N]
-    thresh = s_ref[1, 0]
+    x1b, y1b, x2b, y2b, z1b, z2b = (b[c : c + 1, :] for c in range(6))
+    vol = (x2b - x1b) * (y2b - y1b) * (z2b - z1b)  # [1, N]
+    th = s_ref[1:2, :]  # [1, N], every lane = iou threshold
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    m = out_idx_ref.shape[1]
+    out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    neg_inf = jnp.float32(-jnp.inf)
 
-    def step(i, scores):
-        # scores: [1, N] running masked scores
-        k = jnp.argmax(scores[0])
-        best = scores[0, k]
-        alive = best > -jnp.inf
-        sel = jax.lax.dynamic_slice(b, (0, k), (8, 1))  # [8, 1]
-        x1 = jnp.maximum(sel[0], b[0])
-        y1 = jnp.maximum(sel[1], b[1])
-        x2 = jnp.minimum(sel[2], b[2])
-        y2 = jnp.minimum(sel[3], b[3])
-        z1 = jnp.maximum(sel[4], b[4])
-        z2 = jnp.minimum(sel[5], b[5])
+    def step(i, carry):
+        scores, idx_row, valid_row = carry  # [1,N] f32, [1,M] i32, [1,M] i32
+        best = jnp.max(scores, axis=1, keepdims=True)  # [1, 1]
+        alive = best > neg_inf
+        # first-max index (argmax tie semantics) via min-over-ties reduction
+        is_best = scores == best
+        k = jnp.min(
+            jnp.where(is_best, iota, jnp.int32(n)), axis=1, keepdims=True
+        )  # [1, 1]
+        sel_mask = iota == k  # [1, N] one-hot
+        sel = jnp.sum(jnp.where(sel_mask, b, 0.0), axis=1, keepdims=True)  # [8,1]
+        x1 = jnp.maximum(sel[0:1], x1b)
+        y1 = jnp.maximum(sel[1:2], y1b)
+        x2 = jnp.minimum(sel[2:3], x2b)
+        y2 = jnp.minimum(sel[3:4], y2b)
+        z1 = jnp.maximum(sel[4:5], z1b)
+        z2 = jnp.minimum(sel[5:6], z2b)
         inter = (
             jnp.maximum(x2 - x1, 0.0)
             * jnp.maximum(y2 - y1, 0.0)
             * jnp.maximum(z2 - z1, 0.0)
         )
-        vol_k = (sel[2, 0] - sel[0, 0]) * (sel[3, 0] - sel[1, 0]) * (
-            sel[5, 0] - sel[4, 0]
-        )
+        vol_k = (sel[2:3] - sel[0:1]) * (sel[3:4] - sel[1:2]) * (
+            sel[5:6] - sel[4:5]
+        )  # [1, 1]
         union = jnp.maximum(vol_k + vol - inter, 1e-12)
-        suppress = (inter / union) > thresh
-        scores = jnp.where(
-            (suppress & alive)[None, :], -jnp.inf, scores
-        )
-        scores = jax.lax.dynamic_update_slice(
-            scores, jnp.full((1, 1), -jnp.inf, scores.dtype), (0, k)
-        )
-        out_idx_ref[0, i] = k.astype(jnp.int32)
-        out_valid_ref[0, i] = alive.astype(jnp.int32)
-        return scores
+        suppress = (inter / union) > th
+        scores = jnp.where(alive & (suppress | sel_mask), neg_inf, scores)
+        write = out_iota == i
+        idx_row = jnp.where(write, k, idx_row)
+        valid_row = jnp.where(write, alive.astype(jnp.int32), valid_row)
+        return scores, idx_row, valid_row
 
-    jax.lax.fori_loop(0, max_out, step, s_ref[0:1, :], unroll=False)
+    init = (
+        s_ref[0:1, :],
+        jnp.zeros((1, m), jnp.int32),
+        jnp.zeros((1, m), jnp.int32),
+    )
+    _, idx_row, valid_row = jax.lax.fori_loop(
+        0, max_out, step, init, unroll=False
+    )
+    out_idx_ref[...] = idx_row
+    out_valid_ref[...] = valid_row
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "interpret"))
@@ -203,25 +221,32 @@ def nms_topk_pallas(
     # row 1 smuggles the threshold in as data so the kernel stays shape-only
     srow = srow.at[1, :].set(jnp.float32(iou_threshold))
 
+    m_pad = _round_up(max_out, 128)  # full lanes for the output rows
     out_idx, out_valid = pl.pallas_call(
         functools.partial(_nms_topk_kernel, max_out=max_out),
         out_shape=(
-            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
-            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
         ),
         interpret=interpret,
     )(comp, srow)
-    idx = jnp.clip(out_idx[0], 0, max(n - 1, 0))
-    return idx, out_valid[0].astype(bool)
+    idx = jnp.clip(out_idx[0, :max_out], 0, max(n - 1, 0))
+    return idx, out_valid[0, :max_out].astype(bool)
 
 
-def _suppression_kernel(b_ref, thresh_ref, out_ref):
+def _suppression_kernel(bi_ref, bj_ref, out_ref):
     """Upper-triangular suppression matrix tile: out[i, j] = 1 where box j
-    (higher index = lower score) is suppressed by box i."""
+    (higher index = lower score) is suppressed by box i.
+
+    The row/column tiles arrive through BlockSpec index maps (the same array
+    passed twice — Mosaic has no in-kernel dynamic_slice of values); the IoU
+    threshold rides in component row 6 of the padded component-major layout.
+    """
     i_block = pl.program_id(0)
     j_block = pl.program_id(1)
-    b1 = b_ref[...]  # full [8, N] in VMEM for both roles
-    thresh = thresh_ref[0]
+    bi = bi_ref[...]  # [8, BLOCK_N] row-role boxes
+    bj = bj_ref[...]  # [8, BLOCK_M] column-role boxes
+    thresh = jnp.max(bi[6:7, :], axis=1, keepdims=True)  # [1, 1]
 
     rows = i_block * BLOCK_N + jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK_N, BLOCK_M), 0
@@ -229,12 +254,6 @@ def _suppression_kernel(b_ref, thresh_ref, out_ref):
     cols = j_block * BLOCK_M + jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK_N, BLOCK_M), 1
     )
-
-    def col_slice(start, size):
-        return jax.lax.dynamic_slice(b1, (0, start), (8, size))
-
-    bi = jax.lax.dynamic_slice(b1, (0, i_block * BLOCK_N), (8, BLOCK_N))
-    bj = jax.lax.dynamic_slice(b1, (0, j_block * BLOCK_M), (8, BLOCK_M))
 
     x1 = jnp.maximum(bi[0][:, None], bj[0][None, :])
     y1 = jnp.maximum(bi[1][:, None], bj[1][None, :])
@@ -266,7 +285,7 @@ def suppression_matrix_pallas(
     n_pad = _round_up(max(n, 8), BLOCK_N)
     comp = jnp.zeros((8, n_pad), jnp.float32)
     comp = comp.at[:6, :n].set(boxes_sorted.astype(jnp.float32).T)
-    thresh = jnp.asarray([iou_threshold], jnp.float32)
+    comp = comp.at[6, :].set(jnp.float32(iou_threshold))
 
     grid = (n_pad // BLOCK_N, n_pad // BLOCK_M)
     out = pl.pallas_call(
@@ -274,10 +293,10 @@ def suppression_matrix_pallas(
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.int8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, n_pad), lambda i, j: (0, 0)),
-            pl.BlockSpec((1,), lambda i, j: (0,)),
+            pl.BlockSpec((8, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((8, BLOCK_M), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((BLOCK_N, BLOCK_M), lambda i, j: (i, j)),
         interpret=interpret,
-    )(comp, thresh)
+    )(comp, comp)
     return out[:n, :n]
