@@ -337,9 +337,14 @@ def run_train(
         from nndetection_tpu.planning.estimator import V5E_HBM_BYTES
 
         # the probe ran at plan.batch_size; the step's footprint is
-        # activation-dominated, so scale to the actual batch
+        # activation-dominated, so scale to the actual batch. The linear
+        # scaling is an estimate (fusion working sets and padding do not
+        # shrink proportionally) and the allocator fragments, so keep a
+        # reserve of max(1.5 GB, 25% of the scaled footprint) — a 512 MB
+        # reserve at 95% of HBM OOM'd in practice on a 6.3 GB scaled step.
         compiled = int(compiled * batch_size / max(plan.batch_size, 1))
-        free = int(V5E_HBM_BYTES * 0.95) - compiled - (1 << 29)
+        reserve = max(3 << 29, compiled // 4)
+        free = int(V5E_HBM_BYTES * 0.92) - compiled - reserve
         pool_budget = max(1 << 29, min(pool_budget, free))
     train_loader, val_loader = build_loaders(
         plan,
