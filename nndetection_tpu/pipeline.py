@@ -336,13 +336,14 @@ def run_train(
     if compiled and not _os.environ.get("NNDET_POOL_BYTES"):
         from nndetection_tpu.planning.estimator import V5E_HBM_BYTES
 
-        # the probe ran at plan.batch_size; the step's footprint is
-        # activation-dominated, so scale to the actual batch. The linear
-        # scaling is an estimate (fusion working sets and padding do not
-        # shrink proportionally) and the allocator fragments, so keep a
-        # reserve of max(1.5 GB, 25% of the scaled footprint) — a 512 MB
-        # reserve at 95% of HBM OOM'd in practice on a 6.3 GB scaled step.
-        compiled = int(compiled * batch_size / max(plan.batch_size, 1))
+        # the probe ran at plan.batch_size. Scale the footprint UP when
+        # training at a larger batch, but never DOWN for a smaller one:
+        # measured on hardware, a batch-4 step against a batch-8 probe of
+        # 12.6 GB still OOM'd with the linearly-scaled (6.3 GB) estimate
+        # even behind a 4 GB pool — XLA's real peak (fusion working sets,
+        # padding, both train and val executables resident) does not shrink
+        # linearly with batch. Keep a reserve for fragmentation on top.
+        compiled = int(compiled * max(1.0, batch_size / max(plan.batch_size, 1)))
         reserve = max(3 << 29, compiled // 4)
         free = int(V5E_HBM_BYTES * 0.92) - compiled - reserve
         pool_budget = max(1 << 29, min(pool_budget, free))

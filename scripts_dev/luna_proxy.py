@@ -149,6 +149,11 @@ def main():
     )
     if batch_size:
         trainer_overrides["batch_size"] = int(batch_size)
+    # HBM escape hatch: force activation remat regardless of the plan's
+    # no-remat probe decision (PROXY_REMAT=1)
+    model_overrides = (
+        {"remat": True} if os.environ.get("PROXY_REMAT") == "1" else None
+    )
 
     # ---- stage 4: train + sweep per fold ----------------------------------
     fold_summaries = {}
@@ -193,6 +198,7 @@ def main():
                 model_dir,
                 fold=fold,
                 trainer_overrides=trainer_overrides,
+                model_overrides=model_overrides,
                 log_fn=log_epoch,
                 resume=True,
             )
