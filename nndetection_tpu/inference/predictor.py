@@ -76,7 +76,22 @@ class Predictor:
         # (num TTA variants) x (tiles per call); keep it near 2x the training
         # batch (forward-only activations fit comfortably at that size)
         self.tiles_per_call = max(1, (batch_size * 2) // len(self.tta_flips))
-        self._infer = self._build_infer()
+        # memoized across Predictor instances (one per sweep / predict stage):
+        # the closure depends only on the model config and the static tile
+        # post-processing constants, so every fold reuses one compile
+        from nndetection_tpu.utils.jit_cache import freeze, memo_jit
+
+        self._infer = memo_jit(
+            (
+                "predict_infer",
+                freeze(self.cfg),
+                tuple(self.tta_flips),
+                self.tile_topk,
+                self.tile_detections,
+                self.predict_seg,
+            ),
+            self._build_infer,
+        )
 
     def _build_infer(self):
         cfg = self.cfg

@@ -32,6 +32,7 @@ from nndetection_tpu.data.preprocess import (
     unpack_dataset,
 )
 from nndetection_tpu.evaluator.registry import evaluate_box_dir
+from nndetection_tpu.inference.ensembler import BOX_ENSEMBLERS
 from nndetection_tpu.inference.loading import load_all_models, load_model_bundle
 from nndetection_tpu.inference.predictor import ModelBundle, Predictor
 from nndetection_tpu.inference.sweeper import BoxSweeper
@@ -580,6 +581,99 @@ def run_predict_val(
         batch_size=plan.batch_size,
         ensembler=ensembler,
     )
+    return out
+
+
+def materialize_val_predictions(
+    task_dir,
+    model_dir,
+    fold: int,
+    plan_id: str = "D3V001_3d",
+    restore: bool = True,
+) -> Path:
+    """Produce one fold's final (restored) val-split box predictions from the
+    sweep's saved ensembler states — zero device work.
+
+    The sweep stage already ran the model once per case (with TTA) and saved
+    the per-stream raw detections (``BoxEnsembler.save_state``); the final
+    prediction is just that state re-postprocessed under the swept parameters
+    (consolidated when present, the fold's own otherwise) and mapped back to
+    the original image geometry. This is the cache-reuse the reference's
+    sweeper exploits across parameter candidates
+    (``/root/reference/nndet/evaluator/detection.py:900-1165``), extended to
+    the cross-validation prediction export itself.
+    """
+    from nndetection_tpu.data.patching import pad_to_min_shape
+    from nndetection_tpu.inference.restore import restore_detection
+
+    task_dir, model_dir = Path(task_dir), Path(model_dir)
+    prep_dir = task_dir / "preprocessed"
+    plan: Plan = load_pickle(prep_dir / f"{plan_id}.pkl")
+    fold_dir = model_dir / f"fold{fold}"
+    sweep_dir = fold_dir / "sweep"
+    params = None
+    for plan_inf in (
+        model_dir / "consolidated" / "plan_inference.pkl",
+        fold_dir / "plan_inference.pkl",
+    ):
+        if plan_inf.exists():
+            params = load_pickle(plan_inf)["parameters"]
+            break
+    out = fold_dir / "val_predictions"
+    out.mkdir(parents=True, exist_ok=True)
+    image_dir = prep_dir / plan.plan_id / "imagesTr"
+    ens_cls = BOX_ENSEMBLERS["BoxEnsemblerSelective"]
+    for state_path in sorted(sweep_dir.glob("*_boxes_state.pkl")):
+        cid = state_path.name[: -len("_boxes_state.pkl")]
+        t0 = time.time()
+        ens = ens_cls.from_checkpoint(state_path)
+        if params:
+            ens.update_parameters(**params)
+        result = ens.get_case_result()
+        boxes = result["pred_boxes"]
+        # undo the predictor's pad-to-min-shape offset (state coordinates
+        # live in the padded case grid)
+        npy = image_dir / f"{cid}.npy"
+        shape = (
+            np.load(npy, mmap_mode="r").shape
+            if npy.exists()
+            else np.load(image_dir / f"{cid}.npz")["data"].shape
+        )
+        lower = np.asarray(
+            [max(0, (m - s) // 2) for s, m in zip(shape[1:], plan.patch_size)],
+            np.int64,
+        )
+        if lower.any() and len(boxes):
+            off = np.asarray(
+                [lower[0], lower[1], lower[0], lower[1], lower[2], lower[2]],
+                np.float64,
+            )
+            boxes = boxes - off[None]
+        props = (
+            load_pickle(image_dir / f"{cid}.pkl")
+            if (image_dir / f"{cid}.pkl").exists()
+            else {}
+        )
+        if restore and props:
+            boxes = restore_detection(
+                boxes,
+                transpose_forward=props.get("transpose_forward", [0, 1, 2]),
+                original_spacing=props.get("original_spacing", np.ones(3)),
+                resampled_spacing=props.get(
+                    "spacing_after_resampling", np.ones(3)
+                ),
+                crop_bbox=props.get("crop_bbox"),
+            )
+        save_pickle(
+            {
+                "pred_boxes": boxes,
+                "pred_scores": result["pred_scores"],
+                "pred_labels": result["pred_labels"],
+                "restored": bool(restore and props),
+                "prediction_time_s": time.time() - t0,
+            },
+            out / f"{cid}_boxes.pkl",
+        )
     return out
 
 

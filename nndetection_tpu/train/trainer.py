@@ -157,8 +157,21 @@ class Trainer:
         self.anchors = jnp.asarray(anchors_np)
         self.anchors_per_level = per_level
 
-        self._train_step = self._build_train_step()
-        self._val_step = self._build_val_step()
+        # memoized across Trainer instances: per-fold recompiles of the same
+        # program cost tens of minutes each on the remote compile service
+        # (utils/jit_cache.py). The key covers everything the step closures
+        # capture: model config, optimizer/schedule constants (tcfg), the
+        # augmentation pipeline, and the mesh.
+        from nndetection_tpu.utils.jit_cache import freeze, memo_jit, mesh_key
+
+        _key = (
+            freeze(model_cfg),
+            freeze(trainer_cfg),
+            freeze(augment_cfg),
+            mesh_key(self.mesh),
+        )
+        self._train_step = memo_jit(("train_step", *_key), self._build_train_step)
+        self._val_step = memo_jit(("val_step", *_key), self._build_val_step)
 
     # ------------------------------------------------------------------
     def init_state(self, rng_seed: Optional[int] = None) -> TrainState:

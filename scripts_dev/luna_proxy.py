@@ -118,8 +118,8 @@ def main():
     # ---- stage 3: prep ----------------------------------------------------
     from nndetection_tpu.pipeline import (
         make_splits,
+        materialize_val_predictions,
         run_consolidate,
-        run_predict_val,
         run_prep,
         run_sweep,
         run_train,
@@ -140,15 +140,29 @@ def main():
         f"dummy2d={plan.do_dummy_2d}"
     )
 
-    trainer_overrides = dict(
-        max_epochs=epochs,
-        num_train_batches_per_epoch=steps,
-        num_val_batches_per_epoch=val_steps,
-        swa_epochs=swa_epochs,
-        warm_iterations=warm,
-    )
-    if batch_size:
-        trainer_overrides["batch_size"] = int(batch_size)
+    # folds beyond the first (showcase) fold can run a lighter recipe —
+    # PROXY_EPOCHS_REST / PROXY_SWA_REST / PROXY_STEPS_REST (default: same)
+    epochs_rest = int(os.environ.get("PROXY_EPOCHS_REST", epochs))
+    swa_rest = int(os.environ.get("PROXY_SWA_REST", swa_epochs))
+    steps_rest = int(os.environ.get("PROXY_STEPS_REST", steps))
+
+    def overrides_for(fold):
+        e = epochs if fold == folds[0] else epochs_rest
+        sw = swa_epochs if fold == folds[0] else swa_rest
+        st = steps if fold == folds[0] else steps_rest
+        ov = dict(
+            max_epochs=e,
+            num_train_batches_per_epoch=st,
+            num_val_batches_per_epoch=val_steps,
+            swa_epochs=sw,
+            warm_iterations=int(os.environ.get(
+                "PROXY_WARMUP", max(200, e * st // 20)
+            )),
+        )
+        if batch_size:
+            ov["batch_size"] = int(batch_size)
+        return ov
+
     # HBM escape hatch: force activation remat regardless of the plan's
     # no-remat probe decision (PROXY_REMAT=1)
     model_overrides = (
@@ -161,10 +175,16 @@ def main():
         fold_dir = model_dir / f"fold{fold}"
         marker = fold_dir / ".train_done"
         hist_path = fold_dir / "train_history.jsonl"
+        trainer_overrides = overrides_for(fold)
         if marker.exists():
             log(f"fold {fold}: training already done")
         else:
-            log(f"fold {fold}: training {epochs}+{swa_epochs} epochs x {steps} steps")
+            log(
+                f"fold {fold}: training "
+                f"{trainer_overrides['max_epochs']}+"
+                f"{trainer_overrides['swa_epochs']} epochs x "
+                f"{trainer_overrides['num_train_batches_per_epoch']} steps"
+            )
             t = time.time()
             hist_f = None
 
@@ -216,6 +236,19 @@ def main():
             rows = [json.loads(l) for l in hist_path.read_text().splitlines()]
             if rows:
                 fold_summaries[fold] = rows[-1]
+        # partial artifact after every fold: a chip-budget overrun must not
+        # lose the completed folds' evidence
+        partial = out_json.with_name(out_json.stem + "_partial.json")
+        save_json(
+            {
+                "completed_folds": sorted(fold_summaries),
+                "fold_final_epochs": fold_summaries,
+                "stage_times_s": {
+                    k: round(v, 1) for k, v in telemetry["stage_times"].items()
+                },
+            },
+            partial,
+        )
 
     # ---- stage 5: consolidate --------------------------------------------
     if not (model_dir / "consolidated" / "plan_inference.pkl").exists():
@@ -230,9 +263,13 @@ def main():
         if any(out.glob("*_boxes.pkl")):
             log(f"fold {fold}: val predictions already exist")
             continue
-        log(f"fold {fold}: restored val predictions (TTA)")
+        # the sweep already ran the model once per val case (TTA) and saved
+        # the raw per-stream detections; the final restored predictions are
+        # materialized from those states under the consolidated parameters —
+        # zero device work (pipeline.materialize_val_predictions)
+        log(f"fold {fold}: restored val predictions from sweep states")
         t = time.time()
-        run_predict_val(task, model_dir, fold)
+        materialize_val_predictions(task, model_dir, fold)
         telemetry["stage_times"][f"predict_fold{fold}"] = time.time() - t
 
     # ---- stage 7: CPM + box AP on the pooled CV predictions ---------------

@@ -122,3 +122,35 @@ class TestTrain:
         scores, _ = run_evaluate(task_dir, pred_dir)
         assert "mAP_IoU_0.10_0.50_0.05_MaxDet_100" in scores
         assert np.isfinite(scores["mAP_IoU_0.10_0.50_0.05_MaxDet_100"])
+
+        # CV val predictions: the zero-device materialization from the
+        # sweep's saved ensembler states must reproduce the re-prediction
+        # path (same raw detections, same swept parameters, same restore)
+        import shutil
+
+        from nndetection_tpu.pipeline import (
+            materialize_val_predictions,
+            run_predict_val,
+        )
+
+        val_dir = run_predict_val(task_dir, model_dir, fold=0)
+        ref_dir = val_dir.parent / "val_predictions_device"
+        shutil.move(val_dir, ref_dir)
+        mat_dir = materialize_val_predictions(task_dir, model_dir, fold=0)
+        ref_files = sorted(ref_dir.glob("*_boxes.pkl"))
+        mat_files = sorted(mat_dir.glob("*_boxes.pkl"))
+        assert [p.name for p in mat_files] == [p.name for p in ref_files]
+        for rf, mf in zip(ref_files, mat_files):
+            ref, mat = load_pickle(rf), load_pickle(mf)
+            assert ref["restored"] and mat["restored"]
+            n = min(10, len(ref["pred_scores"]), len(mat["pred_scores"]))
+            assert len(ref["pred_scores"]) == len(mat["pred_scores"])
+            np.testing.assert_allclose(
+                ref["pred_scores"][:n], mat["pred_scores"][:n], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                ref["pred_boxes"][:n], mat["pred_boxes"][:n], atol=1e-3
+            )
+            np.testing.assert_array_equal(
+                ref["pred_labels"][:n], mat["pred_labels"][:n]
+            )
