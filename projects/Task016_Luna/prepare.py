@@ -107,6 +107,8 @@ def export_cpm(pred_dir: Path, labels_dir: Path, out_csv: Path, score_thresh=0.0
     """Export restored box predictions as LUNA CPM csv (box center -> world)."""
     rows = []
     for p in sorted(Path(pred_dir).glob("*_boxes.pkl")):
+        if p.name == "results_boxes.pkl":  # the evaluator's summary artifact
+            continue
         cid = p.name[: -len("_boxes.pkl")]
         pred = load_pickle(p)
         geom = load_pickle(Path(labels_dir) / f"{cid}_geometry.pkl")
@@ -131,7 +133,7 @@ def export_cpm(pred_dir: Path, labels_dir: Path, out_csv: Path, score_thresh=0.0
 FPPI_POINTS = (0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0)
 
 
-def score_cpm(pred_csv, annotations_csv, num_scans=None):
+def score_cpm(pred_csv, annotations_csv, num_scans=None, series=None):
     """Score a CPM-format prediction csv against ``annotations.csv`` with the
     official LUNA16 FROC semantics (``evaluationScript/noduleCADEvaluation``):
     a candidate is a hit when its center lies within ``diameter/2`` of an
@@ -141,6 +143,12 @@ def score_cpm(pred_csv, annotations_csv, num_scans=None):
 
     ``num_scans`` must be the TOTAL number of scored scans (scans without
     predictions or annotations still count toward the FP-per-scan rate).
+
+    ``series`` mirrors the official script's ``seriesuids.csv``: when given,
+    only those scans are evaluated — annotations and predictions on other
+    scans are dropped (required when scoring a CV fold subset, else every
+    unscanned scan's nodules would count as misses) — and ``num_scans``
+    defaults to ``len(series)``.
     """
     ann = load_annotations(annotations_csv)
     preds = defaultdict(list)
@@ -150,6 +158,12 @@ def score_cpm(pred_csv, annotations_csv, num_scans=None):
                 (float(row["coordX"]), float(row["coordY"]),
                  float(row["coordZ"]), float(row["probability"]))
             )
+    if series is not None:
+        series = set(series)
+        ann = {k: v for k, v in ann.items() if k in series}
+        preds = defaultdict(list, {k: v for k, v in preds.items() if k in series})
+        if num_scans is None:
+            num_scans = len(series)
     if num_scans is None:
         num_scans = len(set(preds) | set(ann))
 

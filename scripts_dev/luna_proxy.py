@@ -171,6 +171,7 @@ def main():
 
     # ---- stage 4: train + sweep per fold ----------------------------------
     fold_summaries = {}
+    fold_histories = {}
     for fold in folds:
         fold_dir = model_dir / f"fold{fold}"
         marker = fold_dir / ".train_done"
@@ -236,6 +237,7 @@ def main():
             rows = [json.loads(l) for l in hist_path.read_text().splitlines()]
             if rows:
                 fold_summaries[fold] = rows[-1]
+                fold_histories[fold] = rows
         # partial artifact after every fold: a chip-budget overrun must not
         # lose the completed folds' evidence
         partial = out_json.with_name(out_json.stem + "_partial.json")
@@ -243,6 +245,7 @@ def main():
             {
                 "completed_folds": sorted(fold_summaries),
                 "fold_final_epochs": fold_summaries,
+                "fold_histories": fold_histories,
                 "stage_times_s": {
                     k: round(v, 1) for k, v in telemetry["stage_times"].items()
                 },
@@ -284,8 +287,12 @@ def main():
 
     cpm_csv = model_dir / "cpm_predictions.csv"
     task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
-    n_scanned = len(list(pooled.glob("*_boxes.pkl")))
-    cpm = task016.score_cpm(cpm_csv, raw / "annotations.csv", num_scans=n_scanned)
+    scanned = sorted(
+        p.name[: -len("_boxes.pkl")]
+        for p in pooled.glob("*_boxes.pkl")
+        if p.name != "results_boxes.pkl"
+    )
+    cpm = task016.score_cpm(cpm_csv, raw / "annotations.csv", series=scanned)
     log(f"CPM={cpm['cpm']:.4f} FROC={cpm['froc']}")
 
     from nndetection_tpu.pipeline import run_evaluate
@@ -309,6 +316,7 @@ def main():
         "cpm": cpm,
         "box_eval": ap_keys,
         "fold_final_epochs": fold_summaries,
+        "fold_histories": fold_histories,
         "telemetry": {
             "stage_times_s": {k: round(v, 1) for k, v in telemetry["stage_times"].items()},
             "rss_gb_max": max(telemetry["rss_gb"]) if telemetry["rss_gb"] else None,

@@ -94,6 +94,17 @@ def test_score_cpm_hand_computed(tmp_path):
     assert res["froc"]["0.125"] == pytest.approx(1 / 3, abs=1e-6)
     assert 0 < res["cpm"] <= 1
 
+    # series filter = the official seriesuids.csv semantics: scoring only s1
+    # must drop s2's annotation AND its prediction rows (a fold-subset score
+    # must not count unscanned scans' nodules as misses)
+    res_s1 = task016.score_cpm(pred_csv, ann_csv, series=["s1"])
+    assert res_s1["num_annotations"] == 2
+    assert res_s1["num_scans"] == 1
+    assert res_s1["num_fps"] == 1
+    # s1 alone: ann2 (50,50,50) never hit -> sens caps at 1/2 once the one
+    # FP (t=0.8 -> 1 FPPI) is admitted
+    assert res_s1["froc"]["1.0"] == pytest.approx(1 / 2, abs=1e-6)
+
 
 def test_export_cpm_perfect_predictions(tmp_path):
     """Predictions at exactly the annotation centers -> CPM 1.0."""
