@@ -212,9 +212,14 @@ class RetinaUNet(nn.Module):
             name="regressor",
         )(head_maps)
         seg_cls = 1 if cfg.segmenter_fg_bg else cfg.seg_classes
+        # head outputs stay in the compute dtype (bf16): every consumer
+        # (losses.py, postprocess_detections, the coder) upcasts to f32 at
+        # point of use, where XLA fuses the convert into the consuming
+        # reduction — materializing f32 copies of the [B,A,*] tensors here
+        # doubled their HBM write+read traffic for no precision gain
         out = {
-            "box_logits": box_logits.astype(jnp.float32),
-            "box_deltas": box_deltas.astype(jnp.float32),
+            "box_logits": box_logits,
+            "box_deltas": box_deltas,
         }
         from nndetection_tpu.parallel.spatial import (
             gather_spatial,
@@ -240,9 +245,9 @@ class RetinaUNet(nn.Module):
                 dtype=dtype,
                 name="segmenter",
             )(decoded)
-            out["seg_logits"] = _gather_seg(seg_list[0]).astype(jnp.float32)
+            out["seg_logits"] = _gather_seg(seg_list[0])
             for i, s in enumerate(seg_list[1:], start=1):
-                out[f"seg_logits_aux{i}"] = _gather_seg(s).astype(jnp.float32)
+                out[f"seg_logits_aux{i}"] = _gather_seg(s)
         else:
             out["seg_logits"] = _gather_seg(
                 Segmenter(
@@ -251,7 +256,7 @@ class RetinaUNet(nn.Module):
                     dtype=dtype,
                     name="segmenter",
                 )(decoded)
-            ).astype(jnp.float32)
+            )
         return out
 
 
@@ -329,7 +334,12 @@ def train_step_loss(
             axis=-1,
         )
     else:
-        fg_probs = jnp.max(jax.nn.sigmoid(box_logits), axis=-1)  # [B, A]
+        # f32 sigmoid for the HNM ranking: bf16 probabilities quantize to
+        # ~256 levels and tie-break the negative pool arbitrarily; the
+        # convert fuses into this reduction (no extra f32 copy of logits)
+        fg_probs = jnp.max(
+            jax.nn.sigmoid(box_logits.astype(jnp.float32)), axis=-1
+        )  # [B, A]
 
     if cfg.head_type == "no_sampler":
         # BoxHeadNoSampler (``comb.py:279-348``): every non-ignore anchor

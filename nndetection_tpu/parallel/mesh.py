@@ -42,6 +42,16 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with the batch axis sharded over
-    ``data``."""
+    ``data``.
+
+    Single-process: ``batch`` is the global batch, device_put splits it over
+    the local devices. Multi-process: ``batch`` is this process's LOCAL rows
+    (``distributed.local_batch_slice`` of the logical global batch) and the
+    globally-shaped array is assembled via
+    ``jax.make_array_from_process_local_data`` (SURVEY.md §5.8)."""
+    if jax.process_count() > 1:
+        from nndetection_tpu.parallel.distributed import shard_local_batch
+
+        return shard_local_batch(mesh, batch)
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -396,6 +396,17 @@ class Trainer:
             losses, dets, gt_boxes, gt_classes, gt_mask = self._val_step(
                 state.params, db, sub
             )
+            if jax.process_count() > 1:
+                # data-sharded outputs are not host-addressable across
+                # processes; gather the (small) detection/GT tensors so the
+                # online evaluator sees the full global batch on every host
+                from jax.experimental import multihost_utils
+
+                dets, gt_boxes, gt_classes, gt_mask = (
+                    multihost_utils.process_allgather(
+                        (dets, gt_boxes, gt_classes, gt_mask), tiled=True
+                    )
+                )
             for k, v in losses.items():
                 metrics.setdefault(k, []).append(float(v))
             if evaluator is not None:
@@ -481,9 +492,13 @@ class Trainer:
                 metrics.update(self.val_epoch(state, val_iter_fn(epoch), epoch, evaluator))
             if epoch >= self.tcfg.max_epochs:
                 state = self.update_swa(state)
-            if log_fn:
+            # host-side effects (epoch logs, checkpoints) belong to process 0
+            # only — the reference's implicit Lightning rank-0 gating
+            # (SURVEY.md §5.8); metrics are replicated so nothing is lost
+            main = jax.process_index() == 0
+            if log_fn and main:
                 log_fn(epoch, metrics)
-            if self.output_dir is not None:
+            if self.output_dir is not None and main:
                 score = metrics.get(self.tcfg.monitor_key, None)
                 if score is not None and score > best:
                     best = score
@@ -508,7 +523,7 @@ class Trainer:
             state = state._replace(
                 params=jax.tree_util.tree_map(jnp.copy, state.swa_params)
             )
-            if self.output_dir is not None:
+            if self.output_dir is not None and jax.process_index() == 0:
                 self.save_checkpoint(
                     state,
                     self.output_dir / "model_last.ckpt",

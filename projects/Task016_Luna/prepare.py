@@ -107,9 +107,13 @@ def export_cpm(pred_dir: Path, labels_dir: Path, out_csv: Path, score_thresh=0.0
     """Export restored box predictions as LUNA CPM csv (box center -> world)."""
     rows = []
     for p in sorted(Path(pred_dir).glob("*_boxes.pkl")):
-        if p.name == "results_boxes.pkl":  # the evaluator's summary artifact
-            continue
         cid = p.name[: -len("_boxes.pkl")]
+        # only real cases carry a geometry pkl; anything else matched by the
+        # glob (e.g. the evaluator's results_boxes.pkl summary) is skipped
+        if not (Path(labels_dir) / f"{cid}_geometry.pkl").exists():
+            if cid != "results":
+                print(f"export_cpm: skipping {p.name} (no geometry pkl)")
+            continue
         pred = load_pickle(p)
         geom = load_pickle(Path(labels_dir) / f"{cid}_geometry.pkl")
         origin, spacing = geom["origin"], geom["spacing"]
@@ -219,9 +223,23 @@ def main():
     p.add_argument("--export-cpm", nargs=3, metavar=("PRED_DIR", "LABELS_DIR", "OUT_CSV"))
     p.add_argument("--score-cpm", nargs=2, metavar=("PRED_CSV", "ANNOTATIONS_CSV"))
     p.add_argument("--num-scans", type=int, default=None)
+    p.add_argument(
+        "--series-csv", type=str, default=None,
+        help="csv of scored seriesuids (official seriesuids.csv semantics): "
+        "restricts scoring to these scans — required when scoring a fold "
+        "subset, else unscanned scans' nodules count as misses",
+    )
     args = p.parse_args()
     if args.score_cpm:
-        result = score_cpm(*args.score_cpm, num_scans=args.num_scans)
+        series = None
+        if args.series_csv:
+            with open(args.series_csv) as f:
+                series = [
+                    line.split(",")[0].strip()
+                    for line in f
+                    if line.strip() and not line.lower().startswith("seriesuid")
+                ]
+        result = score_cpm(*args.score_cpm, num_scans=args.num_scans, series=series)
         print(result)
         return
     if args.export_cpm:

@@ -180,6 +180,11 @@ def main():
         if marker.exists():
             log(f"fold {fold}: training already done")
         else:
+            # a fresh (non-resumable) run must not append to a stale epoch
+            # sequence — fold_histories would mix two runs' rows
+            if hist_path.exists() and not (fold_dir / "model_last.ckpt").exists():
+                log(f"fold {fold}: no resumable checkpoint, truncating stale history")
+                hist_path.unlink()
             log(
                 f"fold {fold}: training "
                 f"{trainer_overrides['max_epochs']}+"
@@ -287,12 +292,23 @@ def main():
 
     cpm_csv = model_dir / "cpm_predictions.csv"
     task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
-    scanned = sorted(
+    # the scored series set is the union of the scored folds' val splits —
+    # NOT whatever prediction pickles happen to exist: a missing case must
+    # count its annotations as misses, not silently shrink the denominator
+    splits = load_pickle(task / "preprocessed" / "splits_final.pkl")
+    series = sorted({cid for f in folds for cid in splits[f]["val"]})
+    predicted = {
         p.name[: -len("_boxes.pkl")]
         for p in pooled.glob("*_boxes.pkl")
         if p.name != "results_boxes.pkl"
-    )
-    cpm = task016.score_cpm(cpm_csv, raw / "annotations.csv", series=scanned)
+    }
+    missing = sorted(set(series) - predicted)
+    if missing:
+        log(
+            f"WARNING: {len(missing)} val cases have no prediction pickle "
+            f"(scored as all-miss): {missing[:5]}{'...' if len(missing) > 5 else ''}"
+        )
+    cpm = task016.score_cpm(cpm_csv, raw / "annotations.csv", series=series)
     log(f"CPM={cpm['cpm']:.4f} FROC={cpm['froc']}")
 
     from nndetection_tpu.pipeline import run_evaluate
