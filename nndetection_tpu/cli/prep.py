@@ -45,7 +45,7 @@ def main() -> None:
         f"plan {plan.plan_id}: patch={plan.patch_size} batch={plan.batch_size} "
         f"spacing={plan.target_spacing} anchors_score={plan.anchor_score:.3f} "
         f"mem={plan.mem_estimate_bytes / 1e9:.2f}GB lowres={plan.requires_lowres}"
-        f" n_model={getattr(plan, 'n_model', 1)}"
+        f" n_model={plan.n_model}"
     )
 
 

@@ -108,3 +108,16 @@ def batched_nms_np(
     mins, maxs = box_corners_np(boxes.astype(np.float64))
     shifted = boxes_from_corners_np(mins + offsets[:, None], maxs + offsets[:, None])
     return nms_np(shifted, scores, iou_threshold)
+
+
+def box_axis_vector_np(vec, dim: int):
+    """Per-axis vector ``(a0, a1[, a2])`` -> box-layout vector
+    ``(a0, a1, a0, a1[, a2, a2])`` matching the ``(x1, y1, x2, y2[, z1, z2])``
+    corner convention. Dim-generic replacement for the hand-rolled 3D-only
+    offset constructions."""
+    import numpy as _np
+
+    out = [vec[0], vec[1], vec[0], vec[1]]
+    if dim == 3:
+        out += [vec[2], vec[2]]
+    return _np.asarray(out)

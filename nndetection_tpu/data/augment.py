@@ -253,7 +253,9 @@ def augment_sample(
     # elastic deformation needs arbitrary (non-affine) source coordinates, so
     # presets enabling it take the gather path; the MXU shear chain covers the
     # pure-affine presets (incl. the published default `base_more`)
-    use_gather = (not cfg.use_mxu_resample) or cfg.p_elastic > 0
+    # (the MXU shear chain is 3D-only; 2D volumes are small enough that the
+    # gather path is not a bottleneck)
+    use_gather = (not cfg.use_mxu_resample) or cfg.p_elastic > 0 or dim == 2
     if not use_gather:
         from nndetection_tpu.data.affine_mxu import (
             affine_resample_mxu,
@@ -294,6 +296,8 @@ def augment_sample(
     # --- mirror (p=0.5 per allowed axis) ---
     flips = jax.random.uniform(keys[1], (dim,)) < 0.5
     for ax in cfg.mirror_axes:
+        if ax >= dim:  # 3D default (0, 1, 2) on a 2D patch
+            continue
         data_out = jnp.where(
             flips[ax], jnp.flip(data_out, axis=ax), data_out
         )

@@ -70,7 +70,7 @@ def generate_example_dataset(
         {
             "task": task_dir.name,
             "name": "Example",
-            "dim": 3,
+            "dim": len(image_size),
             "target_class": None,
             "test_labels": True,
             "labels": {"0": "square", "1": "hollow_square"},

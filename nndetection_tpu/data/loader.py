@@ -120,8 +120,9 @@ class PatchLoader:
         else:
             i = self.rng.randint(len(rec.boxes))
         box = rec.boxes[i]
-        lo = np.array([box[0], box[1], box[4]][: self.dim])
-        hi = np.array([box[2], box[3], box[5]][: self.dim])
+        # box layout (x1, y1, x2, y2[, z1, z2]) -> per-axis lo/hi
+        lo = np.array([box[0], box[1], box[4]] if self.dim == 3 else [box[0], box[1]])
+        hi = np.array([box[2], box[3], box[5]] if self.dim == 3 else [box[2], box[3]])
         patch = np.asarray(self.patch_size)
         inner = np.asarray(self.inner_patch)
         margin = (patch - inner) // 2
@@ -214,8 +215,9 @@ class FastPatchLoader(PatchLoader):
     def _fg_origin(self, rec: CaseRecord) -> np.ndarray:
         i = self.rng.randint(len(rec.boxes))
         box = rec.boxes[i]
-        lo = np.array([box[0], box[1], box[4]][: self.dim])
-        hi = np.array([box[2], box[3], box[5]][: self.dim])
+        # box layout (x1, y1, x2, y2[, z1, z2]) -> per-axis lo/hi
+        lo = np.array([box[0], box[1], box[4]] if self.dim == 3 else [box[0], box[1]])
+        hi = np.array([box[2], box[3], box[5]] if self.dim == 3 else [box[2], box[3]])
         center = np.array(
             [self.rng.randint(int(a), max(int(b), int(a) + 1)) for a, b in zip(lo, hi)]
         )

@@ -157,9 +157,10 @@ def analyze_dataset(
     for pc in per_case:
         if len(pc["boxes"]):
             sp = pc["spacing"]
-            scale = np.asarray([sp[0], sp[1], sp[0], sp[1], sp[2], sp[2]])[
-                : pc["boxes"].shape[1]
-            ]
+            if pc["boxes"].shape[1] == 4:  # 2D (x1, y1, x2, y2)
+                scale = np.asarray([sp[0], sp[1], sp[0], sp[1]])
+            else:  # 3D (x1, y1, x2, y2, z1, z2)
+                scale = np.asarray([sp[0], sp[1], sp[0], sp[1], sp[2], sp[2]])
             boxes_mm.append(pc["boxes"] * scale[None])
             classes.append(pc["classes"])
     return {
@@ -168,7 +169,9 @@ def analyze_dataset(
         "all_spacings": all_spacings,
         "all_shapes": all_shapes,
         "intensity_properties": intensity,
-        "boxes_mm": np.concatenate(boxes_mm, 0) if boxes_mm else np.zeros((0, 6)),
+        "boxes_mm": np.concatenate(boxes_mm, 0)
+        if boxes_mm
+        else np.zeros((0, 2 * all_spacings.shape[1])),
         "instance_classes": np.concatenate(classes, 0) if classes else np.zeros((0,), np.int64),
         "size_reductions": np.asarray([pc["size_reduction"] for pc in per_case]),
         "class_ids": sorted(
@@ -217,8 +220,11 @@ def process_case(
         if crop_bbox is not None:
             lo = np.asarray([c[0] for c in crop_bbox], dtype=np.float64)
             dim = boxes_orig.shape[1] // 2
-            off = np.asarray([lo[0], lo[1], lo[0], lo[1], lo[2], lo[2]][: 2 * dim])
-            boxes_orig = boxes_orig + off[None]
+            # box layout: (x1, y1, x2, y2[, z1, z2])
+            off = [lo[0], lo[1], lo[0], lo[1]]
+            if dim == 3:
+                off += [lo[2], lo[2]]
+            boxes_orig = boxes_orig + np.asarray(off)[None]
 
     data_r, seg_r = resample_patient(data, seg, spacing, target)
     nonzero = seg_r != -1

@@ -2,6 +2,16 @@
 the reference so plans/monitors transfer
 (``/root/reference/nndet/evaluator/detection/coco.py:17-316``), e.g.
 ``mAP_IoU_0.10_0.50_0.05_MaxDet_100``.
+
+Provenance: the precision/recall accumulation is the pycocotools
+``COCOeval.accumulate`` algorithm (https://github.com/cocodataset/cocoapi),
+which nnDetection itself adapts; exact metric parity is a rebuild
+requirement (SURVEY.md §7.2.6), so the control flow (score-sorted cumsum,
+box-shape precision smoothing, searchsorted recall interpolation) and the
+field names of the matching results (``dtMatches``/``gtMatches``/
+``dtIgnore``) intentionally follow that lineage. Correctness is pinned by an
+independent brute-force AP cross-check on random instances
+(``tests/test_coco_brute_force.py``).
 """
 from __future__ import annotations
 

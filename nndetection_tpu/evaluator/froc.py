@@ -1,7 +1,13 @@
 """FROC / CPM metric (``/root/reference/nndet/evaluator/detection/froc.py:34-387``):
 pooled-class free-response ROC via sklearn's ``roc_curve``, sensitivity
 interpolated at FPPI thresholds 1/8..8; score = mean sensitivity (the LUNA
-CPM)."""
+CPM).
+
+Provenance: the curve construction follows nnDetection's FROC evaluator
+(which in turn mirrors the official LUNA16 ``noduleCADEvaluation`` FROC
+semantics) — exact metric parity is a rebuild requirement (SURVEY.md
+§7.2.6), hence the shared structure. Correctness is pinned by a randomized
+brute-force CPM cross-check (``tests/test_luna_proxy.py``)."""
 from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple

@@ -5,6 +5,14 @@ Faithful reimplementation of
 adapted from pycocotools): per image and class, detections sorted by score
 greedily claim the best still-unmatched GT above each IoU threshold; ignored
 GT absorb detections without counting as TP or FP.
+
+Provenance: the greedy loop and the result-field names (``dtMatches``/
+``gtMatches``/``dtIgnore``/``gtIgnore``) are the pycocotools
+``COCOeval.evaluateImg`` contract (https://github.com/cocodataset/cocoapi),
+kept verbatim because downstream AP/FROC accumulation and the reference's
+metric keys depend on these exact semantics (SURVEY.md §7.2.6). Verified
+against an independent brute-force matcher+AP in
+``tests/test_coco_brute_force.py``.
 """
 from __future__ import annotations
 

@@ -216,12 +216,9 @@ class BoxEnsemblerSelective:
         offset = np.asarray(tile_origin, dtype=np.float32)
         dim = boxes.shape[-1] // 2 if len(boxes) else 3
         if len(boxes):
-            off = np.asarray(
-                [offset[0], offset[1], offset[0], offset[1], offset[2], offset[2]][
-                    : 2 * dim
-                ]
-            )
-            boxes = boxes + off[None]
+            from nndetection_tpu.core.boxes.ops_np import box_axis_vector_np
+
+            boxes = boxes + box_axis_vector_np(offset, dim)[None]
         res = self.model_results[self.model_current]
         res["boxes"].append(np.asarray(boxes, np.float32).reshape(-1, 2 * dim))
         res["scores"].append(np.asarray(scores, np.float32).reshape(-1))

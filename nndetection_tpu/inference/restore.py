@@ -48,15 +48,13 @@ def restore_detection(
     rs = np.asarray(resampled_spacing, dtype=np.float64)[tb]
     os_ = np.asarray(original_spacing, dtype=np.float64)
     scale = rs / os_
+    from nndetection_tpu.core.boxes.ops_np import box_axis_vector_np
+
     dim = boxes.shape[1] // 2
-    factors = np.asarray(
-        [scale[0], scale[1], scale[0], scale[1], scale[2], scale[2]][: 2 * dim]
-    )
-    boxes = boxes * factors[None]
+    boxes = boxes * box_axis_vector_np(scale, dim)[None]
     if crop_bbox is not None:
         lo = np.asarray([c[0] for c in crop_bbox], dtype=np.float64)
-        off = np.asarray([lo[0], lo[1], lo[0], lo[1], lo[2], lo[2]][: 2 * dim])
-        boxes = boxes + off[None]
+        boxes = boxes + box_axis_vector_np(lo, dim)[None]
     return boxes
 
 

@@ -245,7 +245,7 @@ def mesh_for_plan(plan: Plan, batch_size: int):
     single-chip HBM) get a (data, model) mesh; others return ``None`` and the
     trainer builds its default data-parallel mesh. ``getattr``: plan pickles
     from before the field default to 1."""
-    n_model = getattr(plan, "n_model", 1)
+    n_model = plan.n_model
     if n_model <= 1:
         return None
     import math
@@ -333,7 +333,7 @@ def run_train(
     pool_budget = 4 * 1024**3
     if _os.environ.get("NNDET_POOL_BYTES"):
         pool_budget = int(_os.environ["NNDET_POOL_BYTES"])
-    compiled = int(getattr(plan, "mem_compiled_bytes", 0) or 0)
+    compiled = int(plan.mem_compiled_bytes or 0)
     if compiled and not _os.environ.get("NNDET_POOL_BYTES"):
         from nndetection_tpu.planning.estimator import V5E_HBM_BYTES
 

@@ -29,10 +29,12 @@ def centered_iou(sizes_a: np.ndarray, sizes_b: np.ndarray) -> np.ndarray:
 def anchor_set_from_params(
     params: np.ndarray, strides: Sequence[Sequence[float]]
 ) -> np.ndarray:
-    """Expand 9 per-axis sizes (3 per axis, level-0) into the full multi-level
-    anchor size set ``[27 * L, 3]``."""
-    w, h, d = params[0:3], params[3:6], params[6:9]
-    base = np.stack(np.meshgrid(w, h, d, indexing="ij"), -1).reshape(-1, 3)
+    """Expand ``3*dim`` per-axis sizes (3 per axis, level-0) into the full
+    multi-level anchor size set ``[3^dim * L, dim]`` (dim inferred from the
+    stride vectors; the reference's 3D-only helper generalized)."""
+    dim = len(strides[0])
+    groups = [params[3 * a : 3 * (a + 1)] for a in range(dim)]
+    base = np.stack(np.meshgrid(*groups, indexing="ij"), -1).reshape(-1, dim)
     out = []
     for st in strides:
         out.append(base * np.asarray(st, dtype=np.float64)[None])
@@ -62,15 +64,16 @@ def optimize_anchors(
     """Differential evolution (rand/1/bin) over the 9 anchor parameters.
 
     Args:
-        gt_sizes: per-axis sizes of (filtered) GT boxes ``[N, 3]`` in voxels
-            of the highest-resolution decoder level
+        gt_sizes: per-axis sizes of (filtered) GT boxes ``[N, dim]`` in
+            voxels of the highest-resolution decoder level
         strides: relative stride of each decoder level w.r.t. the first
 
     Returns:
-        ``(best_params [9], best_score)`` with score = mean max-IoU.
+        ``(best_params [3*dim], best_score)`` with score = mean max-IoU.
     """
+    dim = len(strides[0])
     if len(gt_sizes) == 0:
-        default = np.asarray([8.0, 16.0, 32.0] * 3)
+        default = np.asarray([8.0, 16.0, 32.0] * dim)
         return default, 0.0
     rng = np.random.RandomState(seed)
     lo = np.maximum(np.percentile(gt_sizes, 1, axis=0).min() * 0.25, 1.0)
@@ -80,16 +83,16 @@ def optimize_anchors(
     gens = max(1, budget // (pop_size * max(restarts, 1)))
     for r in range(restarts):
         # init population around size percentiles
-        pcts = np.percentile(gt_sizes, [25, 50, 75], axis=0)  # [3, 3]
-        center = np.concatenate([pcts[:, 0], pcts[:, 1], pcts[:, 2]])
-        pop = center[None] * rng.uniform(0.5, 1.5, size=(pop_size, 9))
+        pcts = np.percentile(gt_sizes, [25, 50, 75], axis=0)  # [3, dim]
+        center = np.concatenate([pcts[:, a] for a in range(dim)])
+        pop = center[None] * rng.uniform(0.5, 1.5, size=(pop_size, 3 * dim))
         pop = np.clip(pop, lo, hi)
         vals = np.array([anchor_objective(p, gt_sizes, strides) for p in pop])
         for _ in range(gens):
             for i in range(pop_size):
                 a, b, c = pop[rng.choice(pop_size, 3, replace=False)]
                 mutant = np.clip(a + 0.8 * (b - c), lo, hi)
-                cross = rng.rand(9) < 0.9
+                cross = rng.rand(3 * dim) < 0.9
                 trial = np.where(cross, mutant, pop[i])
                 v = anchor_objective(trial, gt_sizes, strides)
                 if v < vals[i]:

@@ -9,7 +9,9 @@ and the low-resolution fallback stage trigger.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import dataclasses
+import logging
+from dataclasses import MISSING, dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,6 +37,16 @@ from nndetection_tpu.planning.estimator import (
 from nndetection_tpu.utils.registry import PLANNER_REGISTRY
 
 ANISO_THRESHOLD = 3.0
+
+# bump when Plan gains/changes fields. Old pickles migrate on load via
+# Plan.__setstate__ (defaulted fields are filled in, missing required fields
+# fail loudly by name) — pickled dataclasses restore __dict__ WITHOUT calling
+# __init__, so a plan saved before a field existed would otherwise surface as
+# a runtime AttributeError far from the load site (the `getattr(plan,
+# "n_model", 1)` drift pattern this replaces).
+PLAN_SCHEMA_VERSION = 2
+
+_plan_log = logging.getLogger("nndet")
 
 
 @dataclass
@@ -74,6 +86,45 @@ class Plan:
     # (forced) patch cannot fit one chip (SURVEY.md §2.11, the capability the
     # reference lacks); the trainer builds the (data, model) mesh from this
     n_model: int = 1
+    schema_version: int = PLAN_SCHEMA_VERSION
+
+    def __setstate__(self, state: Dict[str, Any]):
+        """Migrate plans pickled under an older schema: fill newly-added
+        defaulted fields, fail loudly (naming the field) on anything that has
+        no default, and reject plans from a NEWER schema outright."""
+        loaded = state.get("schema_version", 1)
+        if loaded > PLAN_SCHEMA_VERSION:
+            raise ValueError(
+                f"plan pickle has schema_version={loaded}, this build "
+                f"supports <= {PLAN_SCHEMA_VERSION} — upgrade the package "
+                "or re-run planning"
+            )
+        missing_required = []
+        migrated = []
+        for f in dataclasses.fields(self):
+            if f.name in state:
+                continue
+            if f.default is not MISSING:
+                state[f.name] = f.default
+                migrated.append(f.name)
+            elif f.default_factory is not MISSING:  # type: ignore[misc]
+                state[f.name] = f.default_factory()  # type: ignore[misc]
+                migrated.append(f.name)
+            else:
+                missing_required.append(f.name)
+        if missing_required:
+            raise ValueError(
+                "plan pickle predates required field(s) "
+                f"{missing_required} (saved schema_version={loaded}); "
+                "re-run planning (nndet_prep) for this task"
+            )
+        if migrated:
+            _plan_log.warning(
+                "migrated plan pickle from schema_version=%s: defaulted %s",
+                loaded, migrated,
+            )
+        state["schema_version"] = PLAN_SCHEMA_VERSION
+        self.__dict__.update(state)
 
     @property
     def do_dummy_2d(self) -> bool:
@@ -99,7 +150,9 @@ class Plan:
             patch_size=tuple(self.patch_size),
             anchor_width=tuple(tuple(w) for w in self.anchors["width"]),
             anchor_height=tuple(tuple(h) for h in self.anchors["height"]),
-            anchor_depth=tuple(tuple(d) for d in self.anchors["depth"]),
+            anchor_depth=tuple(tuple(d) for d in self.anchors["depth"])
+            if self.dim == 3
+            else None,
             class_weights=tuple(self.class_weights) if self.class_weights else None,
             remat=self.remat,
         )
@@ -308,17 +361,20 @@ class Planner:
         after the memory decision, exactly like the reference's probe net
         (``c002.py:209-212``: proxy anchors (16, 32, 64)^3 scaled per level)."""
         num_stages = len(arch["conv_kernels"])
-        strides_abs = encoder_strides(num_stages, arch["pool_strides"], 3)
+        dim = len(arch["patch_size"])
+        strides_abs = encoder_strides(num_stages, arch["pool_strides"], dim)
         dls = arch["decoder_levels"]
         base = np.asarray(strides_abs[dls[0]], dtype=np.float64)
-        proxy = {"width": [], "height": [], "depth": []}
+        axes = ("width", "height", "depth")[:dim]
+        proxy = {a: [] for a in axes}
         for l in dls:
             rel = np.asarray(strides_abs[l], dtype=np.float64) / base
-            proxy["width"].append([16.0 * rel[0], 32.0 * rel[0], 64.0 * rel[0]])
-            proxy["height"].append([16.0 * rel[1], 32.0 * rel[1], 64.0 * rel[1]])
-            proxy["depth"].append([16.0 * rel[2], 32.0 * rel[2], 64.0 * rel[2]])
+            for ax_i, a in enumerate(axes):
+                proxy[a].append(
+                    [16.0 * rel[ax_i], 32.0 * rel[ax_i], 64.0 * rel[ax_i]]
+                )
         return RetinaUNetConfig(
-            dim=3,
+            dim=dim,
             in_channels=in_channels,
             classifier_classes=num_classes,
             seg_classes=num_classes,
@@ -328,7 +384,9 @@ class Planner:
             patch_size=tuple(arch["patch_size"]),
             anchor_width=tuple(tuple(w) for w in proxy["width"]),
             anchor_height=tuple(tuple(h) for h in proxy["height"]),
-            anchor_depth=tuple(tuple(d) for d in proxy["depth"]),
+            anchor_depth=tuple(tuple(d) for d in proxy["depth"])
+            if dim == 3
+            else None,
             remat=remat,
         )
 
@@ -401,6 +459,7 @@ class Planner:
         """Optimize level-0 anchor sizes; scale for deeper levels by relative
         stride (``c002.py:244-275``)."""
         num_stages = len(arch["conv_kernels"])
+        dim = len(arch["patch_size"])
         strides_abs = encoder_strides(num_stages, arch["pool_strides"], dim)
         dls = arch["decoder_levels"]
         base = np.asarray(strides_abs[dls[0]], dtype=np.float64)
@@ -412,12 +471,12 @@ class Planner:
         params, score = optimize_anchors(
             sizes, rel_strides, budget=self.anchor_budget
         )
-        w0, h0, d0 = params[0:3], params[3:6], params[6:9]
-        anchors = {"width": [], "height": [], "depth": []}
+        axes = ("width", "height", "depth")[:dim]
+        anchors = {a: [] for a in axes}
         for rs in rel_strides:
-            anchors["width"].append([float(v * rs[0]) for v in w0])
-            anchors["height"].append([float(v * rs[1]) for v in h0])
-            anchors["depth"].append([float(v * rs[2]) for v in d0])
+            for ax_i, a in enumerate(axes):
+                base_sizes = params[3 * ax_i : 3 * (ax_i + 1)]
+                anchors[a].append([float(v * rs[ax_i]) for v in base_sizes])
         return anchors, score
 
     # ------------------------------------------------------------------
@@ -449,17 +508,16 @@ class Planner:
         # GT boxes in voxels of the target spacing (transposed order)
         boxes_mm = np.asarray(dataset_properties["boxes_mm"], dtype=np.float64)
         if len(boxes_mm):
-            sizes_mm = np.stack(
-                [
-                    boxes_mm[:, 2] - boxes_mm[:, 0],
-                    boxes_mm[:, 3] - boxes_mm[:, 1],
-                    boxes_mm[:, 5] - boxes_mm[:, 4],
-                ],
-                axis=1,
-            )[:, transpose]
+            size_cols = [
+                boxes_mm[:, 2] - boxes_mm[:, 0],
+                boxes_mm[:, 3] - boxes_mm[:, 1],
+            ]
+            if boxes_mm.shape[1] == 6:
+                size_cols.append(boxes_mm[:, 5] - boxes_mm[:, 4])
+            sizes_mm = np.stack(size_cols, axis=1)[:, transpose]
             boxes_vox = sizes_mm / target_t[None]
         else:
-            boxes_vox = np.zeros((0, 3))
+            boxes_vox = np.zeros((0, info.dim))
         anchors, anchor_score = self.plan_anchors(arch, boxes_vox)
 
         # instance budget per patch

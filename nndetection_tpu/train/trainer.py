@@ -39,6 +39,10 @@ from nndetection_tpu.parallel.spatial import spatial_partitioning
 from nndetection_tpu.train.lr import swa_schedule
 from nndetection_tpu.utils.io import save_pickle, load_pickle
 
+# bump when the checkpoint payload gains/renames fields; load_checkpoint
+# validates presence by name so stale pickles fail loudly at the load site
+CKPT_SCHEMA_VERSION = 1
+
 
 @dataclass
 class TrainerConfig:
@@ -442,6 +446,7 @@ class Trainer:
         equivalent of the reference's ckpt artifacts (SURVEY.md §5.4)."""
         host_state = jax.device_get(state)
         payload = {
+            "schema_version": CKPT_SCHEMA_VERSION,
             "params": host_state.params,
             "opt_state": host_state.opt_state,
             "step": int(host_state.step),
@@ -454,6 +459,22 @@ class Trainer:
 
     def load_checkpoint(self, path) -> TrainState:
         payload = load_pickle(path)
+        # schema guard: a stale/foreign pickle must fail loudly with the
+        # offending field names, not surface as a KeyError mid-resume
+        required = {"params", "opt_state", "step", "swa_params", "swa_count"}
+        missing = sorted(required - set(payload))
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} is missing field(s) {missing} "
+                f"(schema_version={payload.get('schema_version', 'pre-1')}); "
+                "it predates this build — retrain or convert the checkpoint"
+            )
+        loaded = payload.get("schema_version", 1)
+        if loaded > CKPT_SCHEMA_VERSION:
+            raise ValueError(
+                f"checkpoint {path} has schema_version={loaded}, this build "
+                f"supports <= {CKPT_SCHEMA_VERSION}"
+            )
         state = TrainState(
             params=payload["params"],
             opt_state=payload["opt_state"],

@@ -63,6 +63,7 @@ def main():
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     log(f"trace files: {files}")
     totals = defaultdict(float)
+    exact = defaultdict(float)
     device_total = 0.0
     for f in files:
         with gzip.open(f, "rt") as fh:
@@ -79,10 +80,50 @@ def main():
             short = key_name.split(".")[0][:60]
             totals[short] += dur
             device_total += dur
+            # exact-op aggregation: fusion.N names resolve into the HLO body
+            exact[key_name.split(" ")[0]] += dur
     top = sorted(totals.items(), key=lambda kv: -kv[1])[:30]
     log(f"total traced op-seconds: {device_total:.2f} (3 steps)")
     for name, dur in top:
         log(f"{dur:8.3f}s  {name}")
+
+    # per-op drill-down: the top exact ops, each located in the optimized HLO
+    # so the fusion body (what it reads/writes) is visible
+    log("\n== top exact ops ==")
+    try:
+        hlo = tr._train_step.lower(state, db, key).compile().as_text()
+    except Exception as e:
+        hlo = ""
+        log(f"(no HLO text: {e})")
+    hlo_lines = hlo.splitlines()
+    top_exact = sorted(exact.items(), key=lambda kv: -kv[1])[:15]
+    for name, dur in top_exact:
+        log(f"{dur:8.3f}s  {name}")
+        opname = name.lstrip("%")
+        body = [
+            (i, l) for i, l in enumerate(hlo_lines)
+            if f"%{opname} " in l or l.strip().startswith(f"{opname} =")
+        ]
+        for i, l in body[:1]:
+            snippet = l.strip()
+            log(f"           {snippet[:240]}")
+            # for fusions, also show the called computation's largest lines
+            if "fusion(" in snippet and "calls=" in snippet:
+                callee = snippet.split("calls=")[1].split(",")[0].split(")")[0]
+                callee = callee.strip("%")
+                in_body = False
+                shown = 0
+                for l2 in hlo_lines:
+                    if l2.strip().startswith(f"%{callee} ") or l2.strip().startswith(f"{callee} "):
+                        in_body = True
+                        continue
+                    if in_body:
+                        if l2.strip().startswith("}"):
+                            break
+                        t = l2.strip()
+                        if any(k in t for k in ("convolution", "reduce", "dot", "convert", "multiply")) and shown < 4:
+                            log(f"             | {t[:200]}")
+                            shown += 1
 
 
 if __name__ == "__main__":

@@ -1,7 +1,15 @@
-"""2D model path (the reference nominally supports 2D; SURVEY §2.2)."""
+"""2D path: unit coverage (anchors / NMS / augmentation) + the FULL pipeline
+E2E (prep -> train -> sweep -> consolidate -> predict -> eval).
+
+The reference nominally supports 2D throughout its core
+(``/root/reference/nndet/core/boxes/anchors.py:71``,
+``nndet/arch/conv.py:28``); the rebuild's planner, loader, augmentation and
+inference stack are dim-generic and exercised here end to end (VERDICT r3 #8).
+"""
 import jax
-import numpy as np
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
 from nndetection_tpu.models import RetinaUNet, RetinaUNetConfig, batched_postprocess
 
@@ -25,11 +33,8 @@ def cfg_2d():
     )
 
 
-class Test2D:
+class Test2DModel:
     def test_forward_and_postprocess(self):
-        # dataclass frozen: anchor_depth=None needs special handling
-        import dataclasses
-
         cfg = cfg_2d()
         model = RetinaUNet(cfg)
         x = jnp.zeros((1, 32, 32, 1), jnp.float32)
@@ -41,3 +46,149 @@ class Test2D:
         assert out["seg_logits"].shape == (1, 32, 32, 2)
         dets = batched_postprocess(cfg, out, jnp.asarray(anchors), cfg.patch_size)
         assert dets["boxes"].shape == (1, 10, 4)
+
+
+class Test2DAnchors:
+    def test_grid_anchors_brute_force(self):
+        from nndetection_tpu.core.boxes.anchors import AnchorGenerator
+
+        gen = AnchorGenerator(width=[(4.0, 8.0)], height=[(6.0,)])
+        anchors, per_level = gen.grid_anchors([(2, 3)], [(4, 4)])
+        assert gen.dim == 2
+        assert per_level == [2 * 3 * 2]
+        # brute force: every grid center x every (w, h) cell anchor
+        expected = []
+        for i in range(2):
+            for j in range(3):
+                cy, cx = i * 4.0, j * 4.0
+                for w in (4.0, 8.0):
+                    expected.append([cy - w / 2, cx - 3.0, cy + w / 2, cx + 3.0])
+        np.testing.assert_allclose(np.sort(anchors, 0), np.sort(expected, 0))
+
+    def test_cell_anchor_count(self):
+        from nndetection_tpu.core.boxes.anchors import AnchorGenerator
+
+        gen = AnchorGenerator(width=[(1, 2, 3)], height=[(1, 2)])
+        assert gen.num_anchors_per_location() == [6]
+        assert gen.cell_anchors(0).shape == (6, 4)
+
+
+class Test2DNms:
+    def test_matches_numpy_greedy(self):
+        from nndetection_tpu.core.boxes.nms import topk_nms
+        from nndetection_tpu.core.boxes.ops_np import box_iou_np
+
+        rng = np.random.RandomState(3)
+        n = 40
+        ctr = rng.uniform(10, 50, size=(n, 2))
+        half = rng.uniform(2, 8, size=(n, 2))
+        boxes = np.concatenate([ctr - half, ctr + half], axis=1)[
+            :, [0, 1, 2, 3]
+        ].astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        idx, keep = topk_nms(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.ones(n, bool), 0.3, n,
+        )
+        got = set(np.asarray(idx)[np.asarray(keep)].tolist())
+        # numpy greedy reference
+        order = np.argsort(-scores, kind="stable")
+        alive = np.ones(n, bool)
+        expected = set()
+        iou = box_iou_np(boxes.astype(np.float64), boxes.astype(np.float64))
+        for i in order:
+            if not alive[i]:
+                continue
+            expected.add(int(i))
+            alive &= iou[i] <= 0.3
+            alive[i] = False
+        assert got == expected
+
+    def test_batched_nms_class_separation_2d(self):
+        from nndetection_tpu.core.boxes.nms import batched_nms_topk
+
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8], jnp.float32)
+        # same location, different classes -> both survive
+        idx, keep = batched_nms_topk(
+            boxes, scores, jnp.asarray([0, 1]), jnp.ones(2, bool), 0.1, 2
+        )
+        assert int(keep.sum()) == 2
+        # same class -> one suppressed
+        idx, keep = batched_nms_topk(
+            boxes, scores, jnp.asarray([0, 0]), jnp.ones(2, bool), 0.1, 2
+        )
+        assert int(keep.sum()) == 1
+
+
+class Test2DAugment:
+    def test_augment_batch_shapes_and_labels(self):
+        from nndetection_tpu.data.augment import AugmentConfig, augment_batch
+
+        cfg = AugmentConfig(patch_size=(24, 24), p_elastic=0.0)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+        seg = np.zeros((2, 32, 32), np.int32)
+        seg[:, 10:20, 10:20] = 1
+        data, seg_out = augment_batch(
+            jax.random.PRNGKey(0), images, jnp.asarray(seg), cfg
+        )
+        assert data.shape == (2, 24, 24, 1)
+        assert seg_out.shape == (2, 24, 24)
+        # the object covers ~1/10 of the volume; augmentation must keep it
+        assert int(jnp.sum(seg_out == 1)) > 0
+
+    def test_mirror_axes_beyond_dim_ignored(self):
+        """The 3D default mirror_axes=(0,1,2) must be a no-op on axis 2 for
+        2D patches instead of crashing."""
+        from nndetection_tpu.data.augment import AugmentConfig, augment_batch
+
+        cfg = AugmentConfig(patch_size=(16, 16), mirror_axes=(0, 1, 2))
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(1, 16, 16, 1), jnp.float32)
+        seg = jnp.zeros((1, 16, 16), jnp.int32)
+        data, seg_out = augment_batch(jax.random.PRNGKey(1), images, seg, cfg)
+        assert data.shape == (1, 16, 16, 1)
+
+
+class Test2DPipelineE2E:
+    def test_full_pipeline(self, tmp_path):
+        """prep -> train -> sweep -> consolidate -> predict -> eval on a tiny
+        2D toy task (plumbing test: every stage must run dim-generically; AP
+        quality is covered by the 3D toy acceptance runs)."""
+        from nndetection_tpu.data.example import generate_example_dataset
+        from nndetection_tpu.pipeline import (
+            run_consolidate,
+            run_evaluate,
+            run_predict_test,
+            run_prep,
+            run_sweep,
+            run_train,
+        )
+        from nndetection_tpu.planning.planner import Planner
+
+        task = generate_example_dataset(
+            tmp_path / "Task001D2_Example2D", num_train=4, num_test=1,
+            image_size=(48, 48), object_size=(8, 14), object_width=2,
+        )
+        plan = run_prep(task, planner=Planner(anchor_budget=50))
+        assert plan.dim == 2
+        assert len(plan.patch_size) == 2
+        assert "depth" not in plan.anchors
+        model_dir = tmp_path / "models" / "M"
+        run_train(
+            task, model_dir, fold=0, module="RetinaUNetV001",
+            trainer_overrides=dict(
+                max_epochs=1, num_train_batches_per_epoch=3,
+                num_val_batches_per_epoch=1, warm_iterations=2,
+                swa_epochs=0, batch_size=2,
+            ),
+        )
+        assert (model_dir / "fold0" / "model_last.ckpt").exists()
+        run_sweep(task, model_dir, 0)
+        run_consolidate(task, model_dir, num_folds=1)
+        pred_dir = run_predict_test(task, model_dir)
+        preds = list(pred_dir.glob("*_boxes.pkl"))
+        assert preds, "no 2D test predictions written"
+        metrics, _ = run_evaluate(task, pred_dir, split="Ts")
+        assert "mAP_IoU_0.10_0.50_0.05_MaxDet_100" in metrics
