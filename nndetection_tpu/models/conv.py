@@ -196,6 +196,25 @@ class InstanceNorm(nn.Module):
             return spatial_instance_norm(
                 x, scale=gamma, bias=beta, epsilon=self.epsilon, axis_name=ax
             ).astype(self.dtype)
+        if os.environ.get("NNDET_IN_IMPL") == "pallas":
+            # fused Pallas forward+backward (ops/pallas_norm.py): single-pass
+            # Welford/Chan statistics — 2R+1W per map vs XLA's 3R+1W, and a
+            # 4R+1W custom backward. Params are applied inside the kernel.
+            from nndetection_tpu.ops.pallas_norm import fused_instance_norm
+
+            gamma = (
+                self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+                if self.use_scale
+                else jnp.ones((c,), jnp.float32)
+            )
+            beta = (
+                self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+                if self.use_bias
+                else jnp.zeros((c,), jnp.float32)
+            )
+            return fused_instance_norm(x, gamma, beta, self.epsilon).astype(
+                self.dtype
+            )
         if os.environ.get("NNDET_IN_STATS", "two_pass") == "one_pass":
             mean, var = _shifted_stats(x, axes)
         else:
