@@ -218,3 +218,45 @@ def test_score_cpm_matches_bruteforce(tmp_path):
     for k, v in expect.items():
         assert res["froc"][k] == pytest.approx(v, abs=1e-9), k
     assert res["cpm"] == pytest.approx(float(np.mean(list(expect.values()))), abs=1e-9)
+
+
+class TestMissedGtAudit:
+    """scripts_dev/audit_missed.py: hit / near-miss / no-candidate triage."""
+
+    def test_statuses(self, tmp_path):
+        import csv
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "audit_missed",
+            Path(__file__).resolve().parent.parent / "scripts_dev" / "audit_missed.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        pred_csv = tmp_path / "preds.csv"
+        ann_csv = tmp_path / "ann.csv"
+        with open(pred_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seriesuid", "coordX", "coordY", "coordZ", "probability"])
+            w.writerow(["s1", 10.0, 10.0, 10.0, 0.9])   # hit for nodule A
+            w.writerow(["s1", 40.0, 10.0, 10.0, 0.5])   # FP
+            w.writerow(["s1", 10.0, 10.0, 66.0, 0.2])   # near-miss for nodule B
+        with open(ann_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seriesuid", "coordX", "coordY", "coordZ", "diameter_mm"])
+            w.writerow(["s1", 11.0, 10.0, 10.0, 8.0])   # A: within 4mm -> hit
+            w.writerow(["s1", 10.0, 10.0, 61.0, 8.0])   # B: dist 5 in (4, 6] -> near miss
+            w.writerow(["s1", 90.0, 90.0, 90.0, 8.0])   # C: nothing near
+            w.writerow(["s2", 10.0, 10.0, 10.0, 8.0])   # D: no candidates at all
+
+        result = mod.audit(pred_csv, ann_csv)
+        s = result["summary"]
+        assert s["total_annotations"] == 4
+        assert s["hit"] == 1
+        assert s["near_miss"] == 1
+        assert s["no_candidate"] == 2
+        by_status = {r["status"]: r for r in result["per_annotation"]}
+        assert by_status["hit"]["best_rank_in_scan"] == 0
+        assert by_status["near_miss"]["nearest_dist_mm"] == 5.0
