@@ -259,10 +259,9 @@ class Predictor:
         result = box_ens.get_case_result()
         # undo the min-shape padding offset
         if lower.any() and len(result["pred_boxes"]):
-            off = np.asarray(
-                [lower[0], lower[1], lower[0], lower[1], lower[2], lower[2]],
-                dtype=np.float64,
-            )
+            from nndetection_tpu.core.boxes.ops_np import box_axis_vector_np
+
+            off = box_axis_vector_np(lower.astype(np.float64), self.cfg.dim)
             result["pred_boxes"] = result["pred_boxes"] - off[None]
         if seg_ens is not None:
             seg = seg_ens.get_case_result()

@@ -285,8 +285,14 @@ def run_train(
     ``train.mode=resume``, ``/root/reference/scripts/train.py:154-163``)."""
     from nndetection_tpu import modules as _modules  # registers variants
     from nndetection_tpu.evaluator.det import BoxEvaluator
+    from nndetection_tpu.parallel import distributed
     from nndetection_tpu.utils.registry import MODULE_REGISTRY
     from nndetection_tpu.utils.tracking import RunTracker
+
+    # multi-host SPMD (SURVEY.md §5.8): join the job described by
+    # NNDET_COORDINATOR/NNDET_NUM_PROCESSES/NNDET_PROCESS_ID (no-op when
+    # unset); must run before the first backend touch below
+    distributed.initialize_from_env()
 
     task_dir, model_dir = Path(task_dir), Path(model_dir)
     prep_dir = task_dir / "preprocessed"
@@ -305,13 +311,16 @@ def run_train(
 
     out_dir = model_dir / f"fold{fold}"
     out_dir.mkdir(parents=True, exist_ok=True)
-    save_pickle(plan, out_dir / "plan.pkl")
+    # host-side artifacts belong to process 0 (the trainer gates its own
+    # checkpoints/epoch logs the same way)
+    if distributed.is_main_process():
+        save_pickle(plan, out_dir / "plan.pkl")
     tracker = RunTracker(
         out_dir,
         params={"module": module, "plan": plan_id, "fold": fold,
                 "trainer": tkw, "batch_size": batch_size},
         tags={"task": task_dir.name},
-    )
+    ) if distributed.is_main_process() else None
 
     from nndetection_tpu.data.aug_presets import get_augmentation
 
@@ -348,15 +357,19 @@ def run_train(
         reserve = max(3 << 29, compiled // 4)
         free = int(V5E_HBM_BYTES * 0.92) - compiled - reserve
         pool_budget = max(1 << 29, min(pool_budget, free))
+    # under multi-process SPMD every process loads its LOCAL share of the
+    # global batch (shard_batch assembles the global array via
+    # make_array_from_process_local_data); decorrelate sampling per process
+    local_bs = distributed.local_batch_size(batch_size)
     train_loader, val_loader = build_loaders(
         plan,
         prep_dir / plan.plan_id / "imagesTr",
         splits,
         fold,
-        batch_size,
+        local_bs,
         oversample=oversample,
         augment=augment,
-        seed=tcfg.seed + fold,
+        seed=tcfg.seed + fold + 10007 * distributed.process_index(),
         aug_cfg=aug_cfg if augment else None,
         pool_hbm_budget=pool_budget,
         num_epochs_hint=tcfg.max_epochs + tcfg.swa_epochs,
@@ -366,7 +379,8 @@ def run_train(
     def _log(epoch, metrics):
         if hasattr(train_loader, "sampling_report"):
             metrics = {**metrics, **train_loader.sampling_report()}
-        tracker.log_metrics(epoch, metrics)
+        if tracker is not None:
+            tracker.log_metrics(epoch, metrics)
         if log_fn:
             log_fn(epoch, metrics)
 
@@ -644,11 +658,11 @@ def materialize_val_predictions(
             np.int64,
         )
         if lower.any() and len(boxes):
-            off = np.asarray(
-                [lower[0], lower[1], lower[0], lower[1], lower[2], lower[2]],
-                np.float64,
-            )
-            boxes = boxes - off[None]
+            from nndetection_tpu.core.boxes.ops_np import box_axis_vector_np
+
+            boxes = boxes - box_axis_vector_np(
+                lower.astype(np.float64), plan.dim
+            )[None]
         props = (
             load_pickle(image_dir / f"{cid}.pkl")
             if (image_dir / f"{cid}.pkl").exists()
