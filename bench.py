@@ -246,10 +246,17 @@ def main():
         help="instance-norm statistics schedule (one_pass = shifted single "
         "sweep, saves one HBM read of every normalized activation)",
     )
+    p.add_argument(
+        "--in_impl", choices=["xla", "pallas"], default=None,
+        help="instance-norm implementation (pallas = fused single-pass "
+        "Welford/Chan stats + custom VJP, ops/pallas_norm.py)",
+    )
     args = p.parse_args()
 
     if args.in_stats:
         os.environ["NNDET_IN_STATS"] = args.in_stats
+    if args.in_impl:
+        os.environ["NNDET_IN_IMPL"] = args.in_impl
 
     if args.prng == "rbg":
         import jax
