@@ -19,6 +19,15 @@ gradient sums, one pass emitting dx).
 Replaces (functionally) the per-instance-norm portion of the reference's
 AMP'd torch InstanceNorm (``/root/reference/nndet/arch/conv.py:146``);
 selected via ``NNDET_IN_IMPL=pallas`` (see ``models/conv.py``).
+
+Status (round-4 chip measurement): OPT-IN, not default. Isolated kernel wins
+(micro A/B: fused fwd+bwd faster than XLA's two-pass at [8,48,64,64,32]
+bf16), but inside the full train step ``pallas_call`` pins its operands to
+the default row-major layout, so XLA inserts layout-conversion copies of
+every normalized map; at the high-resolution stages C is 32-64 < the 128
+lane width, the copies tile-pad 2-4x, and the step OOMs 16 GB HBM at the
+LUNA plan size. A net win needs a layout-aware kernel (C on sublanes, fused
+spatial on lanes) or C >= 128 — tracked in docs/roadmap.md.
 """
 from __future__ import annotations
 
@@ -65,6 +74,10 @@ def _stats_kernel(x_ref, mean_ref, m2_ref):
 
     Grid (B, K), K fastest: for each batch row the chunk index sweeps
     sequentially, accumulating running mean / M2 in the output refs.
+
+    Stat refs are blocked (1, 1, C) over (B, 1, C) arrays — the singleton
+    axis keeps the block's last-two dims equal to the array's, which is what
+    Mosaic's (8, 128) tiling rule requires for C < 128.
     """
     k = pl.program_id(1)
     chunk = x_ref.shape[1]
@@ -75,17 +88,17 @@ def _stats_kernel(x_ref, mean_ref, m2_ref):
 
     @pl.when(k == 0)
     def _():
-        mean_ref[:] = m_k
-        m2_ref[:] = m2_k
+        mean_ref[0] = m_k
+        m2_ref[0] = m2_k
 
     @pl.when(k > 0)
     def _():
         n_acc = (k * chunk).astype(jnp.float32)
         n_new = n_acc + chunk
-        delta = m_k - mean_ref[:]
-        mean_ref[:] = mean_ref[:] + delta * (chunk / n_new)
-        m2_ref[:] = (
-            m2_ref[:] + m2_k + delta * delta * (n_acc * chunk / n_new)
+        delta = m_k - mean_ref[0]
+        mean_ref[0] = mean_ref[0] + delta * (chunk / n_new)
+        m2_ref[0] = (
+            m2_ref[0] + m2_k + delta * delta * (n_acc * chunk / n_new)
         )
 
 
@@ -94,7 +107,7 @@ def _apply_kernel(x_ref, mean_ref, scale_ref, beta_ref, y_ref):
     ``x*scale + (beta - mean*scale)`` form cancels catastrophically when
     |mean| >> sigma (both terms ~|mean·scale|), this form never does."""
     x = x_ref[0].astype(jnp.float32)
-    y_ref[0] = ((x - mean_ref[:]) * scale_ref[:] + beta_ref[:]).astype(
+    y_ref[0] = ((x - mean_ref[0]) * scale_ref[0] + beta_ref[0]).astype(
         y_ref.dtype
     )
 
@@ -104,28 +117,33 @@ def _grad_stats_kernel(x_ref, dy_ref, mean_ref, inv_ref, s1_ref, s2_ref):
     k = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
-    xhat = (x - mean_ref[:]) * inv_ref[:]
+    xhat = (x - mean_ref[0]) * inv_ref[0]
     p1 = jnp.sum(dy, axis=0, keepdims=True)
     p2 = jnp.sum(dy * xhat, axis=0, keepdims=True)
 
     @pl.when(k == 0)
     def _():
-        s1_ref[:] = p1
-        s2_ref[:] = p2
+        s1_ref[0] = p1
+        s2_ref[0] = p2
 
     @pl.when(k > 0)
     def _():
-        s1_ref[:] = s1_ref[:] + p1
-        s2_ref[:] = s2_ref[:] + p2
+        s1_ref[0] = s1_ref[0] + p1
+        s2_ref[0] = s2_ref[0] + p2
 
 
 def _dx_kernel(x_ref, dy_ref, mean_ref, ginv_ref, inv_ref, a_ref, b_ref, dx_ref):
     """dx = gamma*inv * (dy - a/S - xhat * b/S)  (a, b pre-divided by S)."""
     x = x_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
-    xhat = (x - mean_ref[:]) * inv_ref[:]
-    dx = ginv_ref[:] * (dy - a_ref[:] - xhat * b_ref[:])
+    xhat = (x - mean_ref[0]) * inv_ref[0]
+    dx = ginv_ref[0] * (dy - a_ref[0] - xhat * b_ref[0])
     dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _stat_spec(c):
+    """Block spec for a per-(b, c) statistics array stored as (B, 1, C)."""
+    return pl.BlockSpec((1, 1, c), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM)
 
 
 def _stats(x3: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -139,17 +157,14 @@ def _stats(x3: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
                 (1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=[
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[_stat_spec(c), _stat_spec(c)],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
         ],
         interpret=_interpret(),
     )(x3)
-    return mean, m2 / s
+    return mean.reshape(bsz, c), m2.reshape(bsz, c) / s
 
 
 def _apply(x3, mean, scale, beta, chunk):
@@ -161,16 +176,17 @@ def _apply(x3, mean, scale, beta, chunk):
             pl.BlockSpec(
                 (1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
+            _stat_spec(c),
+            _stat_spec(c),
+            _stat_spec(c),
         ],
         out_specs=pl.BlockSpec(
             (1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
         interpret=_interpret(),
-    )(x3, mean, scale, beta)
+    )(x3, mean.reshape(bsz, 1, c), scale.reshape(bsz, 1, c),
+      beta.reshape(bsz, 1, c))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -228,46 +244,45 @@ def _fused_in_bwd(eps, residuals, dy):
         return dx.astype(x.dtype), dgamma, dbeta
     x3 = x.reshape(bsz, s, c)
     dy3 = dy.reshape(bsz, s, c)
+    mean3 = mean.reshape(bsz, 1, c)
+    inv3 = inv.reshape(bsz, 1, c)
     s1, s2 = pl.pallas_call(
         _grad_stats_kernel,
         grid=(bsz, s // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
+            _stat_spec(c),
+            _stat_spec(c),
         ],
-        out_specs=[
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[_stat_spec(c), _stat_spec(c)],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x3, dy3, mean, inv)
-    dgamma = jnp.sum(s2, axis=0)
-    dbeta = jnp.sum(s1, axis=0)
-    ginv = gamma[None] * inv  # [B, C]
+    )(x3, dy3, mean3, inv3)
+    dgamma = jnp.sum(s2, axis=(0, 1))
+    dbeta = jnp.sum(s1, axis=(0, 1))
+    ginv = gamma[None, None] * inv3  # [B, 1, C]
     dx = pl.pallas_call(
         _dx_kernel,
         grid=(bsz, s // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
+            _stat_spec(c),
+            _stat_spec(c),
+            _stat_spec(c),
+            _stat_spec(c),
+            _stat_spec(c),
         ],
         out_specs=pl.BlockSpec(
             (1, chunk, c), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
         interpret=_interpret(),
-    )(x3, dy3, mean, ginv, inv, s1 / s, s2 / s)
+    )(x3, dy3, mean3, ginv, inv3, s1 / s, s2 / s)
     return dx.reshape(shape), dgamma, dbeta
 
 
