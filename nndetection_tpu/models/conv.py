@@ -154,6 +154,48 @@ def _shifted_stats(x: jnp.ndarray, axes: Tuple[int, ...]):
     return mean, var
 
 
+def _head_shifted_stats(x: jnp.ndarray, axes: Tuple[int, ...]):
+    """One-pass statistics shifted by a CONTIGUOUS head-block mean.
+
+    Round-4 chip profiling showed :func:`_shifted_stats` (the strided
+    1/16-per-axis subsample) measures SLOWER than two-pass (15.70 vs 15.97
+    patches/s): a strided gather touches most HBM bursts despite reading few
+    elements, so the "cheap" shift pass costs nearly a full read. This
+    variant takes the shift from the leading ``1/64`` contiguous chunk of the
+    flattened spatial axis instead — coalesced, ~1.6% extra read — then
+    accumulates sum(t) / sum(t^2) of t = x - s in one fused pass (XLA
+    multi-output fusion: both reductions share the single read of x).
+
+    Numerics: |E[t]| <= |head mean - true mean| ~ sigma * sqrt(64/N), so the
+    cancellation term E[t]^2 is O(64/N) of E[t^2] — benign for the >=2^15
+    spatial sizes where this path matters (selected only when N >= 4096).
+    Gradients are exact because s is stop_gradient'ed. Enabled with
+    ``NNDET_IN_STATS=one_pass_head``.
+    """
+    lead = axes[0]
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    if n < 4096:  # cancellation guard too weak; two-pass is cheap here anyway
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        diff = x - mean.astype(x.dtype)
+        var = jnp.mean(
+            jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32
+        )
+        return mean, var
+    head = max(1, x.shape[lead] // 64)
+    sub = x[tuple(slice(None, head) if a == lead else slice(None) for a in range(x.ndim))]
+    s = jax.lax.stop_gradient(
+        jnp.mean(sub, axis=axes, keepdims=True, dtype=jnp.float32)
+    )
+    t = x.astype(jnp.float32) - s
+    m1 = jnp.mean(t, axis=axes, keepdims=True)
+    m2 = jnp.mean(t * t, axis=axes, keepdims=True)
+    mean = s + m1
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    return mean, var
+
+
 class InstanceNorm(nn.Module):
     """Instance normalization over spatial axes (per sample, per channel).
 
@@ -215,8 +257,11 @@ class InstanceNorm(nn.Module):
             return fused_instance_norm(x, gamma, beta, self.epsilon).astype(
                 self.dtype
             )
-        if os.environ.get("NNDET_IN_STATS", "two_pass") == "one_pass":
+        stats_impl = os.environ.get("NNDET_IN_STATS", "two_pass")
+        if stats_impl == "one_pass":
             mean, var = _shifted_stats(x, axes)
+        elif stats_impl == "one_pass_head":
+            mean, var = _head_shifted_stats(x, axes)
         else:
             mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
             diff = x - mean.astype(x.dtype)

@@ -279,3 +279,43 @@ class TestInstanceNormOnePass:
         for y in (y1, y2):
             assert abs(float(np.mean(y))) < 0.1
             assert 0.5 < float(np.std(y)) < 2.0
+
+    def test_head_shift_matches_two_pass(self, monkeypatch, np_rng):
+        """one_pass_head (contiguous head-block shift) value/grad parity on a
+        spatial size above its N>=4096 activation threshold."""
+        x = jnp.asarray(
+            np_rng.standard_normal((2, 16, 16, 17, 6)).astype(np.float32) * 3.0 + 50.0
+        )
+        y2, v2, g2 = self._run(monkeypatch, "two_pass", x)
+        y1, v1, g1 = self._run(monkeypatch, "one_pass_head", x)
+        np.testing.assert_allclose(y1, y2, atol=2e-4, rtol=2e-4)
+        assert abs(v1 - v2) < 2e-4 * y1.size
+        # grads are analytically identical (stop_gradient shift cancels);
+        # per-channel param grads sum ~9k elements, so compare with an atol
+        # scaled to the f32 rounding of that reduction, not elementwise rtol
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.max(np.abs(b))))
+            np.testing.assert_allclose(a, b, atol=5e-3 * scale, rtol=0)
+
+    def test_head_shift_small_n_fallback(self, monkeypatch, np_rng):
+        """Below the N>=4096 guard one_pass_head must be EXACTLY two-pass."""
+        x = jnp.asarray(
+            np_rng.standard_normal((2, 8, 9, 10, 6)).astype(np.float32) * 3.0 + 50.0
+        )
+        y2, _, _ = self._run(monkeypatch, "two_pass", x)
+        y1, _, _ = self._run(monkeypatch, "one_pass_head", x)
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_head_shift_high_mean_low_variance_stable(self, monkeypatch, np_rng):
+        """Cancellation regime at a size where the head shift is active, with
+        a spatially DRIFTING mean so the head block is a biased estimate."""
+        drift = np.linspace(0.0, 0.5, 16).reshape(1, 16, 1, 1, 1)
+        x = jnp.asarray(
+            (np_rng.standard_normal((1, 16, 16, 16, 4)) * 0.01 + 300.0 + drift).astype(
+                np.float32
+            )
+        )
+        y1, _, _ = self._run(monkeypatch, "one_pass_head", x)
+        assert np.isfinite(np.asarray(y1)).all()
+        assert abs(float(np.mean(y1))) < 0.1
