@@ -1,0 +1,139 @@
+"""CPU-only partial CPM/box-eval scorer for the LUNA-proxy CV run.
+
+The proxy driver (``scripts_dev/luna_proxy.py``) scores CPM only after ALL
+requested folds complete — a wall-clock truncation mid-fold would leave the
+round with zero accuracy evidence. This scorer snapshots the metric from
+whatever folds HAVE finished train+sweep (``foldK/plan_inference.pkl``
+present): it materializes the restored val predictions from the sweep's
+saved ensembler states (zero device work), pools them, exports the
+world-coordinate CPM csv, and scores FROC/CPM against the union of the
+completed folds' val splits (missing cases count as misses, per the
+round-3 ADVICE fix). Safe to run concurrently with training: it touches
+only completed folds' files and never the TPU.
+
+Usage: python scripts_dev/score_partial.py [out_json]
+Env:   PROXY_ROOT (default /tmp/luna_proxy), PROXY_MODEL_NAME
+"""
+import importlib.util
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# keep this process off the chip: the evaluator stack is numpy/C++, but a
+# stray jnp call must land on CPU, not steal the training chip
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # noqa: BLE001
+    pass
+
+
+def main():
+    root = Path(os.environ.get("PROXY_ROOT", "/tmp/luna_proxy"))
+    model_name = os.environ.get("PROXY_MODEL_NAME", "RetinaUNetV001")
+    out_json = Path(
+        sys.argv[1] if len(sys.argv) > 1
+        else REPO / "artifacts" / "luna_proxy_partial_cpm.json"
+    )
+    task = root / "Task916_LunaProxy"
+    model_dir = root / "models" / task.name / model_name
+
+    from nndetection_tpu.pipeline import materialize_val_predictions, run_evaluate
+    from nndetection_tpu.utils.io import load_pickle, save_json
+
+    spec = importlib.util.spec_from_file_location(
+        "task016_prepare", REPO / "projects" / "Task016_Luna" / "prepare.py"
+    )
+    task016 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(task016)
+
+    folds = sorted(
+        int(p.parent.name[len("fold"):])
+        for p in model_dir.glob("fold*/plan_inference.pkl")
+    )
+    if not folds:
+        print("no completed folds (no fold*/plan_inference.pkl) — nothing to score")
+        return 1
+    print(f"scoring completed folds: {folds}")
+
+    t0 = time.time()
+    for fold in folds:
+        out = model_dir / f"fold{fold}" / "val_predictions"
+        n_states = len(list((model_dir / f"fold{fold}" / "sweep").glob("*_boxes_state.pkl")))
+        if len(list(out.glob("*_boxes.pkl"))) >= n_states and n_states > 0:
+            print(f"fold {fold}: val predictions already materialized")
+            continue
+        materialize_val_predictions(task, model_dir, fold)
+        print(f"fold {fold}: materialized val predictions")
+
+    import shutil
+
+    pooled = model_dir / "cv_predictions_partial"
+    pooled.mkdir(exist_ok=True)
+    for fold in folds:
+        for p in (model_dir / f"fold{fold}" / "val_predictions").glob("*_boxes.pkl"):
+            if not (pooled / p.name).exists():
+                shutil.copy(p, pooled / p.name)
+
+    cpm_csv = model_dir / "cpm_predictions_partial.csv"
+    task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
+    splits = load_pickle(task / "preprocessed" / "splits_final.pkl")
+    series = sorted({cid for f in folds for cid in splits[f]["val"]})
+    predicted = {
+        p.name[: -len("_boxes.pkl")]
+        for p in pooled.glob("*_boxes.pkl")
+        if p.name != "results_boxes.pkl"
+    }
+    missing = sorted(set(series) - predicted)
+    if missing:
+        print(f"WARNING: {len(missing)} val cases missing (scored all-miss): {missing[:5]}")
+    cpm = task016.score_cpm(cpm_csv, root / "raw" / "annotations.csv", series=series)
+    print(f"CPM={cpm['cpm']:.4f} FROC={cpm['froc']}")
+
+    # run_evaluate scores exactly the *_boxes.pkl present in pred_dir — the
+    # pooled partial dir holds only the completed folds' val cases
+    box_metrics, _ = run_evaluate(task, pooled, split="Tr")
+    ap_keys = {
+        k: round(float(v), 4)
+        for k, v in box_metrics.items()
+        if isinstance(v, (int, float)) and ("AP" in k or "FROC" in k)
+    }
+    print(f"box eval mAP={box_metrics.get('mAP_IoU_0.10_0.50_0.05_MaxDet_100')}")
+
+    # per-fold training history snapshot for convergence evidence
+    hists = {}
+    for fold in folds:
+        hp = model_dir / f"fold{fold}" / "train_history.jsonl"
+        if hp.exists():
+            hists[fold] = [json.loads(l) for l in hp.read_text().splitlines()]
+
+    save_json(
+        {
+            "folds_scored": folds,
+            "num_val_scans": len(series),
+            "cpm": cpm,
+            "box_eval": ap_keys,
+            "fold_histories": hists,
+            "score_time_s": round(time.time() - t0, 1),
+            "reference_bar": {
+                "luna16_cpm_10fold": 0.930,
+                "note": "real LUNA16 blocked in env; synthetic proxy, "
+                "completed-fold subset of the 5-fold CV",
+            },
+        },
+        out_json,
+    )
+    print(f"wrote {out_json}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
