@@ -55,14 +55,28 @@ def main():
     task016 = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(task016)
 
+    # --allow-incomplete: also score folds whose sweep was truncated by the
+    # wall clock (ensembler states exist but no swept plan_inference.pkl —
+    # default postprocessing parameters are used, and ONLY the predicted
+    # cases are scored, explicitly labeled as a subset)
+    allow_incomplete = "--allow-incomplete" in sys.argv
     folds = sorted(
         int(p.parent.name[len("fold"):])
         for p in model_dir.glob("fold*/plan_inference.pkl")
     )
+    incomplete = []
+    if allow_incomplete:
+        incomplete = sorted(
+            int(p.parent.name[len("fold"):])
+            for p in model_dir.glob("fold*/sweep")
+            if any(p.glob("*_boxes_state.pkl"))
+            and int(p.parent.name[len("fold"):]) not in folds
+        )
+        folds = sorted(folds + incomplete)
     if not folds:
         print("no completed folds (no fold*/plan_inference.pkl) — nothing to score")
         return 1
-    print(f"scoring completed folds: {folds}")
+    print(f"scoring folds: {folds} (incomplete sweeps: {incomplete})")
 
     t0 = time.time()
     for fold in folds:
@@ -86,12 +100,19 @@ def main():
     cpm_csv = model_dir / "cpm_predictions_partial.csv"
     task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
     splits = load_pickle(task / "preprocessed" / "splits_final.pkl")
-    series = sorted({cid for f in folds for cid in splits[f]["val"]})
     predicted = {
         p.name[: -len("_boxes.pkl")]
         for p in pooled.glob("*_boxes.pkl")
         if p.name != "results_boxes.pkl"
     }
+    # complete folds: the FULL val split — a missing case scores as all-miss
+    # (round-3 ADVICE fix). Incomplete (wall-clock-truncated) folds: only the
+    # predicted subset — the prefix of the case list the sweep got through,
+    # not a quality-selected sample — labeled as such in the artifact.
+    series = sorted(
+        {cid for f in folds if f not in incomplete for cid in splits[f]["val"]}
+        | {cid for f in incomplete for cid in splits[f]["val"] if cid in predicted}
+    )
     missing = sorted(set(series) - predicted)
     if missing:
         print(f"WARNING: {len(missing)} val cases missing (scored all-miss): {missing[:5]}")
@@ -118,6 +139,7 @@ def main():
     save_json(
         {
             "folds_scored": folds,
+            "incomplete_sweep_folds": incomplete,
             "num_val_scans": len(series),
             "cpm": cpm,
             "box_eval": ap_keys,
