@@ -201,11 +201,24 @@ class Predictor:
             ]
         ).astype(ml_dtypes.bfloat16)
 
-        # one transfer per case; per-batch slices are device-side views
-        tiles_dev = jax.device_put(tiles)
+        # batch + pad the tile stack ON HOST to a multiple of tiles_per_call:
+        # the jitted infer then only ever sees the one fixed [bsz, *patch, C]
+        # shape. Device-side slicing/concatenation of a per-case-sized tiles
+        # array would eagerly compile a new tiny executable per (case shape,
+        # slice) pair — ruinous on backends where every compile goes through
+        # a remote service (measured: minutes per case on the axon tunnel).
         bsz = self.tiles_per_call
         n_tiles = len(grid)
-        zero_pad = None
+        n_pad = (-n_tiles) % bsz
+        if n_pad:
+            tiles = np.concatenate(
+                [tiles, np.zeros((n_pad, *tiles.shape[1:]), tiles.dtype)]
+            )
+        # transfer each fixed-shape batch once; reused across ensemble models
+        batches_dev = [
+            jax.device_put(tiles[start : start + bsz])
+            for start in range(0, n_tiles, bsz)
+        ]
 
         for m_idx, bundle in enumerate(self.models):
             stream_names = [
@@ -213,18 +226,9 @@ class Predictor:
             ]
             # dispatch every tile batch asynchronously, then fetch once
             calls = []
-            for start in range(0, n_tiles, bsz):
+            for b_idx, batch_tiles in enumerate(batches_dev):
+                start = b_idx * bsz
                 n_valid = min(bsz, n_tiles - start)
-                if n_valid < bsz:
-                    if zero_pad is None:
-                        zero_pad = jnp.zeros(
-                            (bsz - n_valid, *tiles.shape[1:]), tiles_dev.dtype
-                        )
-                    batch_tiles = jnp.concatenate(
-                        [tiles_dev[start:], zero_pad[: bsz - n_valid]]
-                    )
-                else:
-                    batch_tiles = tiles_dev[start : start + bsz]
                 out = self._infer(bundle.params, batch_tiles)
                 if seg_ens is not None:
                     # seg maps are patch-sized — fetch per call rather than

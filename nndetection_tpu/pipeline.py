@@ -445,6 +445,11 @@ def predict_dir(
             p.stem for p in image_dir.glob("*.npz") if not p.stem.endswith("_boxes")
         )
     for cid in case_ids:
+        # resume-safe: a wall-clock-killed predict/sweep stage must not redo
+        # completed cases. The boxes pickle is written AFTER the ensembler
+        # state for a case, so its presence implies the case is complete.
+        if (output_dir / f"{cid}_boxes.pkl").exists():
+            continue
         arr = np.load(image_dir / f"{cid}.npy", mmap_mode="r") if (
             image_dir / f"{cid}.npy"
         ).exists() else np.load(image_dir / f"{cid}.npz")["data"]
