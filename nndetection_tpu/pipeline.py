@@ -427,9 +427,16 @@ def predict_dir(
     batch_size: int = 4,
     predict_seg: bool = False,
     ensembler: str = "BoxEnsemblerSelective",
+    resume: bool = False,
 ) -> None:
     """Predict all preprocessed cases in a directory
-    (``/root/reference/nndet/inference/helper.py:30-111``)."""
+    (``/root/reference/nndet/inference/helper.py:30-111``).
+
+    ``resume=False`` (default) always re-predicts, matching the reference
+    helper — so re-running after retraining or changing ensembler
+    parameters never silently reuses stale predictions. Wall-clock-bounded
+    drivers (sweeps) pass ``resume=True`` to skip completed cases.
+    """
     image_dir, output_dir = Path(image_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     predictor = Predictor(
@@ -446,9 +453,10 @@ def predict_dir(
         )
     for cid in case_ids:
         # resume-safe: a wall-clock-killed predict/sweep stage must not redo
-        # completed cases. The boxes pickle is written AFTER the ensembler
-        # state for a case, so its presence implies the case is complete.
-        if (output_dir / f"{cid}_boxes.pkl").exists():
+        # completed cases. The boxes pickle is written LAST for a case (after
+        # ensembler state and seg) and atomically (utils/io.py::_atomic_write),
+        # so its presence implies the case is complete.
+        if resume and (output_dir / f"{cid}_boxes.pkl").exists():
             continue
         arr = np.load(image_dir / f"{cid}.npy", mmap_mode="r") if (
             image_dir / f"{cid}.npy"
@@ -462,16 +470,8 @@ def predict_dir(
         ens = result.pop("ensembler")
         if save_state:
             ens.save_state(output_dir, cid)
-        save_pickle(
-            {
-                "pred_boxes": result["pred_boxes"],
-                "pred_scores": result["pred_scores"],
-                "pred_labels": result["pred_labels"],
-                "restored": bool(restore),
-                "prediction_time_s": time.time() - t0,
-            },
-            output_dir / f"{cid}_boxes.pkl",
-        )
+        # seg is written BEFORE the boxes pickle: boxes.pkl is the completion
+        # marker for resume, so every other per-case output must exist first.
         if predict_seg and "pred_seg" in result:
             seg = result["pred_seg"]
             if restore and props:
@@ -487,6 +487,16 @@ def predict_dir(
                     crop_bbox=props.get("crop_bbox"),
                 )
             np.savez_compressed(output_dir / f"{cid}_seg.npz", seg=seg)
+        save_pickle(
+            {
+                "pred_boxes": result["pred_boxes"],
+                "pred_scores": result["pred_scores"],
+                "pred_labels": result["pred_labels"],
+                "restored": bool(restore),
+                "prediction_time_s": time.time() - t0,
+            },
+            output_dir / f"{cid}_boxes.pkl",
+        )
 
 
 def run_sweep(
@@ -504,6 +514,9 @@ def run_sweep(
     val_ids = splits[fold]["val"]
 
     sweep_dir = fold_dir / "sweep"
+    # resume=True is safe here: sweep predictions are raw ensembler states
+    # (parameters are applied AFTER, by the sweeper), so a completed case
+    # never goes stale when sweep parameters change.
     predict_dir(
         [bundle],
         prep_dir / plan.plan_id / "imagesTr",
@@ -512,6 +525,7 @@ def run_sweep(
         tta=tta,
         save_state=True,
         batch_size=plan.batch_size,
+        resume=True,
     )
     classes = [str(info.labels[k]) for k in sorted(info.labels)]
     sweeper = BoxSweeper(
@@ -568,6 +582,7 @@ def run_predict_val(
     tta: bool = True,
     restore: bool = True,
     ensembler: str = "BoxEnsemblerSelective",
+    resume: bool = False,
 ) -> Path:
     """Predict one fold's validation split with that fold's model, restored to
     the original image geometry — the cross-validation prediction mode used
@@ -581,14 +596,23 @@ def run_predict_val(
     bundle = load_model_bundle(fold_dir / "model_last.ckpt", name=f"fold{fold}")
     splits = make_splits([], prep_dir / "splits_final.pkl")
     params = None
+    params_mtime = None
     for plan_inf in (
         model_dir / "consolidated" / "plan_inference.pkl",
         fold_dir / "plan_inference.pkl",
     ):
         if plan_inf.exists():
             params = load_pickle(plan_inf)["parameters"]
+            params_mtime = plan_inf.stat().st_mtime
             break
     out = fold_dir / "val_predictions"
+    if resume and params_mtime is not None and out.exists():
+        # Staleness guard: predictions materialized before the current swept
+        # parameters landed must not be reused — drop any boxes.pkl older
+        # than the plan_inference.pkl so resume only skips fresh cases.
+        for stale in out.glob("*_boxes.pkl"):
+            if stale.stat().st_mtime < params_mtime:
+                stale.unlink()
     predict_dir(
         [bundle],
         prep_dir / plan.plan_id / "imagesTr",
@@ -599,6 +623,7 @@ def run_predict_val(
         ensembler_parameters=params,
         batch_size=plan.batch_size,
         ensembler=ensembler,
+        resume=resume,
     )
     return out
 

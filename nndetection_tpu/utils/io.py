@@ -7,6 +7,7 @@ retry-looped npz load used by the corrupted-file detector
 from __future__ import annotations
 
 import json
+import os
 import pickle
 import time
 from pathlib import Path
@@ -18,10 +19,25 @@ import yaml
 PathLike = Union[str, Path]
 
 
+def _atomic_write(path: Path, write_fn, mode: str) -> None:
+    """Write via a sibling temp file + os.replace so a mid-write kill never
+    leaves a truncated file at ``path`` (resume stages treat existence of an
+    output file as completion, so partial files must be impossible)."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    try:
+        with open(tmp, mode) as f:
+            write_fn(f)
+        os.replace(tmp, path)
+    finally:
+        if tmp.exists():
+            tmp.unlink(missing_ok=True)
+
+
 def save_json(data: Any, path: PathLike) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2, default=_json_default)
+    _atomic_write(
+        Path(path), lambda f: json.dump(data, f, indent=2, default=_json_default), "w"
+    )
 
 
 def _json_default(o):
@@ -40,9 +56,7 @@ def load_json(path: PathLike) -> Any:
 
 
 def save_pickle(data: Any, path: PathLike) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(data, f)
+    _atomic_write(Path(path), lambda f: pickle.dump(data, f), "wb")
 
 
 def load_pickle(path: PathLike) -> Any:
@@ -51,9 +65,7 @@ def load_pickle(path: PathLike) -> Any:
 
 
 def save_yaml(data: Any, path: PathLike) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w") as f:
-        yaml.safe_dump(data, f)
+    _atomic_write(Path(path), lambda f: yaml.safe_dump(data, f), "w")
 
 
 def load_yaml(path: PathLike) -> Any:

@@ -59,8 +59,27 @@ def main():
         return 1
 
     times = np.asarray([r["prediction_time_s"] for r in rows])
-    # first case of each fold pays the tile-batch compile; report both views
-    steady = np.sort(times)[: max(1, len(times) - len({r["fold"] for r in rows}))]
+    # The first case predicted per fold pays the tile-batch compile. Identify
+    # compile-paying cases POSITIONALLY (earliest mtime per fold, i.e. first
+    # in prediction order) rather than dropping the N slowest — the slowest
+    # timings may simply be the largest volumes (round-4 ADVICE fix).
+    first_per_fold = set()
+    by_fold = {}
+    for pkl in sorted(model_dir.glob("fold*/sweep/*_boxes.pkl")):
+        fold = pkl.parent.parent.name
+        m = pkl.stat().st_mtime
+        if fold not in by_fold or m < by_fold[fold][0]:
+            by_fold[fold] = (m, pkl.name[: -len("_boxes.pkl")])
+    first_per_fold = {(fold, cid) for fold, (_, cid) in by_fold.items()}
+    steady = np.asarray(
+        [
+            r["prediction_time_s"]
+            for r in rows
+            if (r["fold"], r["case"]) not in first_per_fold
+        ]
+    )
+    if steady.size == 0:
+        steady = times
     result = {
         "metric": "infer_volumes_per_min_tta",
         "value": round(60.0 / float(np.mean(times)), 3),

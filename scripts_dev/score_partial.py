@@ -80,13 +80,25 @@ def main():
 
     t0 = time.time()
     for fold in folds:
-        out = model_dir / f"fold{fold}" / "val_predictions"
-        n_states = len(list((model_dir / f"fold{fold}" / "sweep").glob("*_boxes_state.pkl")))
-        if len(list(out.glob("*_boxes.pkl"))) >= n_states and n_states > 0:
+        fold_dir = model_dir / f"fold{fold}"
+        out = fold_dir / "val_predictions"
+        n_states = len(list((fold_dir / "sweep").glob("*_boxes_state.pkl")))
+        existing = list(out.glob("*_boxes.pkl"))
+        # staleness guard (round-4 ADVICE): predictions materialized under
+        # DEFAULT params before the fold's swept plan_inference.pkl landed
+        # must be refreshed, or the pooled artifact silently mixes
+        # default-param and swept-param predictions across runs.
+        plan_inf = fold_dir / "plan_inference.pkl"
+        stale = (
+            plan_inf.exists()
+            and existing
+            and min(p.stat().st_mtime for p in existing) < plan_inf.stat().st_mtime
+        )
+        if len(existing) >= n_states and n_states > 0 and not stale:
             print(f"fold {fold}: val predictions already materialized")
             continue
         materialize_val_predictions(task, model_dir, fold)
-        print(f"fold {fold}: materialized val predictions")
+        print(f"fold {fold}: materialized val predictions (stale={stale})")
 
     import shutil
 
@@ -94,8 +106,11 @@ def main():
     pooled.mkdir(exist_ok=True)
     for fold in folds:
         for p in (model_dir / f"fold{fold}" / "val_predictions").glob("*_boxes.pkl"):
-            if not (pooled / p.name).exists():
-                shutil.copy(p, pooled / p.name)
+            dst = pooled / p.name
+            # copy when absent OR when the fold's materialized prediction is
+            # newer than the pooled copy (refresh after a re-sweep)
+            if not dst.exists() or p.stat().st_mtime > dst.stat().st_mtime:
+                shutil.copy(p, dst)
 
     cpm_csv = model_dir / "cpm_predictions_partial.csv"
     task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
