@@ -143,6 +143,14 @@ class BoxEnsemblerSelective:
         self.model_results: Dict[Hashable, Dict[str, List[np.ndarray]]] = {}
         self.model_current: Optional[Hashable] = None
         self.model_weights: Dict[Hashable, float] = {}
+        # sweep-time memoization: per-model concatenated streams and
+        # postprocessed results keyed by the model-level parameter subset.
+        # The sweeper re-runs get_case_result ~25x per case with one
+        # parameter changed at a time; ensemble-level trials reuse the
+        # per-model NMS output unchanged (reference caches likewise:
+        # ``/root/reference/nndet/evaluator/detection.py:900-1165``).
+        self._concat_cache: Dict[Hashable, Tuple[np.ndarray, ...]] = {}
+        self._model_post_cache: Dict[Tuple, Tuple[np.ndarray, ...]] = {}
 
     @classmethod
     def get_default_parameters(cls) -> Dict[str, Any]:
@@ -224,6 +232,9 @@ class BoxEnsemblerSelective:
         res["scores"].append(np.asarray(scores, np.float32).reshape(-1))
         res["labels"].append(np.asarray(labels, np.int64).reshape(-1))
         res["weights"].append(np.asarray(w, np.float32).reshape(-1))
+        # new predictions invalidate any memoized postprocessing
+        self._concat_cache.clear()
+        self._model_post_cache.clear()
 
     # ------------------------------------------------------------------
     def _postprocess_image(self, boxes, probs, labels, weights):
@@ -246,13 +257,35 @@ class BoxEnsemblerSelective:
             )
         return boxes, probs, labels, weights
 
+    # parameters that change the per-model postprocess output; the cache key
+    _MODEL_PARAM_KEYS = (
+        "model_topk",
+        "remove_small_boxes",
+        "model_score_thresh",
+        "model_nms_fn",
+        "model_iou",
+        "model_detections_per_image",
+    )
+
     def process_model(self, name: Hashable):
-        res = self.model_results[name]
-        boxes = np.concatenate(res["boxes"]) if res["boxes"] else np.zeros((0, 6))
-        probs = np.concatenate(res["scores"]) if res["scores"] else np.zeros((0,))
-        labels = np.concatenate(res["labels"]) if res["labels"] else np.zeros((0,))
-        weights = np.concatenate(res["weights"]) if res["weights"] else np.zeros((0,))
-        return self._postprocess_image(boxes, probs, labels, weights)
+        p = self.parameters
+        key = (name,) + tuple(p[k] for k in self._MODEL_PARAM_KEYS)
+        hit = self._model_post_cache.get(key)
+        if hit is not None:
+            return hit
+        cat = self._concat_cache.get(name)
+        if cat is None:
+            res = self.model_results[name]
+            cat = (
+                np.concatenate(res["boxes"]) if res["boxes"] else np.zeros((0, 6)),
+                np.concatenate(res["scores"]) if res["scores"] else np.zeros((0,)),
+                np.concatenate(res["labels"]) if res["labels"] else np.zeros((0,)),
+                np.concatenate(res["weights"]) if res["weights"] else np.zeros((0,)),
+            )
+            self._concat_cache[name] = cat
+        out = self._postprocess_image(*cat)
+        self._model_post_cache[key] = out
+        return out
 
     def get_case_result(self) -> Dict[str, np.ndarray]:
         """Consolidate all models -> final case detections."""

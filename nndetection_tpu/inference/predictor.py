@@ -92,8 +92,32 @@ class Predictor:
             ),
             self._build_infer,
         )
+        # Multi-model (fold-ensemble) path: stack all fold params into one
+        # pytree and vmap the whole infer over the fold axis — ONE device
+        # call serves every fold per tile batch instead of a per-model
+        # Python loop multiplying dispatches and host fetches by num_models.
+        self._multi = len(self.models) > 1 and all(
+            freeze(m.cfg) == freeze(self.cfg) for m in self.models[1:]
+        )
+        if self._multi:
+            self._infer_multi = memo_jit(
+                (
+                    "predict_infer_multi",
+                    len(self.models),
+                    freeze(self.cfg),
+                    tuple(self.tta_flips),
+                    self.tile_topk,
+                    self.tile_detections,
+                    self.predict_seg,
+                ),
+                lambda: jax.jit(jax.vmap(self._infer_body(), in_axes=(0, None))),
+            )
+            self._stacked_params = None
 
     def _build_infer(self):
+        return jax.jit(self._infer_body())
+
+    def _infer_body(self):
         cfg = self.cfg
         anchors_np, _ = cfg.anchors()
         anchors = jnp.asarray(anchors_np)
@@ -103,7 +127,6 @@ class Predictor:
         n_var = len(flips_list)
         with_seg = self.predict_seg
 
-        @jax.jit
         def infer(params, tiles):
             """tiles ``[B, *patch, C]`` -> per-variant detections
             ``[V, B, K, ...]`` (+ variant-averaged ``seg_probs [B, ..., C]``).
@@ -220,28 +243,64 @@ class Predictor:
             for start in range(0, n_tiles, bsz)
         ]
 
+        if self._multi:
+            # one fused call per tile batch covers every model: out leaves
+            # gain a leading model axis [M, V, B, ...]
+            if self._stacked_params is None:
+                self._stacked_params = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[m.params for m in self.models]
+                )
+            # dispatch all batches async, fetch once (seg maps are patch-
+            # sized: fetch per call instead of holding them all on device)
+            if seg_ens is not None:
+                raw = [
+                    jax.device_get(self._infer_multi(self._stacked_params, bt))
+                    for bt in batches_dev
+                ]
+            else:
+                raw = jax.device_get(
+                    [self._infer_multi(self._stacked_params, bt) for bt in batches_dev]
+                )
+            per_model_calls = {
+                m_idx: [
+                    (b_idx * bsz, min(bsz, n_tiles - b_idx * bsz),
+                     jax.tree.map(lambda x, m=m_idx: x[m], out))
+                    for b_idx, out in enumerate(raw)
+                ]
+                for m_idx in range(len(self.models))
+            }
+        else:
+            per_model_calls = None
+
         for m_idx, bundle in enumerate(self.models):
             stream_names = [
                 f"{bundle.name}{m_idx}_t{flips}" for flips in self.tta_flips
             ]
-            # dispatch every tile batch asynchronously, then fetch once
-            calls = []
-            for b_idx, batch_tiles in enumerate(batches_dev):
-                start = b_idx * bsz
-                n_valid = min(bsz, n_tiles - start)
-                out = self._infer(bundle.params, batch_tiles)
-                if seg_ens is not None:
-                    # seg maps are patch-sized — fetch per call rather than
-                    # holding every call's maps on device
-                    out = jax.device_get(out)
-                calls.append((start, n_valid, out))
-            fetched = (
-                [c[2] for c in calls]
-                if seg_ens is not None
-                else jax.device_get([c[2] for c in calls])
-            )
+            if per_model_calls is not None:
+                fetched_calls = per_model_calls[m_idx]
+            else:
+                # dispatch every tile batch asynchronously, then fetch once
+                calls = []
+                for b_idx, batch_tiles in enumerate(batches_dev):
+                    start = b_idx * bsz
+                    n_valid = min(bsz, n_tiles - start)
+                    out = self._infer(bundle.params, batch_tiles)
+                    if seg_ens is not None:
+                        # seg maps are patch-sized — fetch per call rather
+                        # than holding every call's maps on device
+                        out = jax.device_get(out)
+                    calls.append((start, n_valid, out))
+                fetched = (
+                    [c[2] for c in calls]
+                    if seg_ens is not None
+                    else jax.device_get([c[2] for c in calls])
+                )
+                fetched_calls = [
+                    (start, n_valid, out)
+                    for (start, n_valid, _), out in zip(calls, fetched)
+                ]
 
-            for (start, n_valid, _), out in zip(calls, fetched):
+            for start, n_valid, out in fetched_calls:
                 for v, stream in enumerate(stream_names):
                     box_ens.add_model(stream)
                     for b in range(n_valid):

@@ -35,17 +35,33 @@ class BoxSweeper:
         )
         if not self.case_ids:
             raise FileNotFoundError(f"no ensembler states in {self.state_dir}")
+        # Hold every case's ensembler and GT in memory for the whole sweep:
+        # states are top-k-reduced (~1000 boxes x streams, a few MB total),
+        # and the ~25-trial greedy sweep would otherwise pay 25x pickle
+        # reloads + per-model NMS recomputes per case. The ensembler's
+        # process_model memoization then makes ensemble-level trials reuse
+        # the per-model NMS output outright.
+        self._ens: Dict[str, BoxEnsemblerSelective] = {}
+        self._gt: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _case(self, cid: str) -> BoxEnsemblerSelective:
+        ens = self._ens.get(cid)
+        if ens is None:
+            ens = BoxEnsemblerSelective.from_checkpoint(
+                self.state_dir / f"{cid}_boxes_state.pkl"
+            )
+            self._ens[cid] = ens
+            with np.load(self.gt_dir / f"{cid}_boxes_gt.npz") as f:
+                self._gt[cid] = (f["boxes"], f["classes"])
+        return ens
 
     def _evaluate_params(self, params: Dict[str, Any]) -> float:
         evaluator = BoxEvaluator.create(self.classes, fast=True)
         for cid in self.case_ids:
-            ens = BoxEnsemblerSelective.from_checkpoint(
-                self.state_dir / f"{cid}_boxes_state.pkl"
-            )
+            ens = self._case(cid)
             ens.update_parameters(**params)
             res = ens.get_case_result()
-            with np.load(self.gt_dir / f"{cid}_boxes_gt.npz") as f:
-                gt_boxes, gt_classes = f["boxes"], f["classes"]
+            gt_boxes, gt_classes = self._gt[cid]
             evaluator.add_batch(
                 pred_boxes=[res["pred_boxes"]],
                 pred_scores=[res["pred_scores"]],

@@ -156,3 +156,72 @@ class TestRestore:
         assert out.shape == (12, 12, 12)
         assert out[5, 5, 5] == 1
         assert out[0, 0, 0] == 0
+
+
+class TestMultiModelFusedPath:
+    def test_multi_matches_sequential(self):
+        """The fold-vmapped fused inference call must reproduce the
+        per-model loop's case result (same streams, same ensembling)."""
+        import jax
+        import numpy as np
+
+        from nndetection_tpu.inference.predictor import ModelBundle, Predictor
+        from nndetection_tpu.models import RetinaUNet, RetinaUNetConfig
+
+        cfg = RetinaUNetConfig(
+            conv_kernels=((3, 3, 3),) * 3,
+            strides=((2, 2, 2),) * 2,
+            decoder_levels=(1, 2),
+            patch_size=(16, 16, 16),
+            anchor_width=((4.0, 8.0),) * 2,
+            anchor_height=((4.0, 8.0),) * 2,
+            anchor_depth=((4.0, 8.0),) * 2,
+            start_channels=4,
+            fpn_channels=8,
+            head_channels=8,
+            topk_candidates=50,
+            detections_per_img=10,
+        )
+        model = RetinaUNet(cfg)
+        x0 = np.zeros((1, *cfg.patch_size, 1), np.float32)
+        p0 = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+        # identical params in both lanes: lane outputs must be BIT-identical,
+        # which pins the model-axis plumbing (stacking + in_axes + slicing).
+        # A vmapped program is a different XLA program than the single one,
+        # so bf16 compute diverges by ~1e-3 and near-tie top-k selection can
+        # reorder — only score closeness is guaranteed across programs.
+        bundles = [
+            ModelBundle(cfg=cfg, params=p0, name=f"fold{i}") for i in range(2)
+        ]
+        rng = np.random.default_rng(0)
+        import ml_dtypes
+
+        p = Predictor(bundles, batch_size=2, tta=True)
+        assert p._multi
+
+        tiles = rng.normal(size=(p.tiles_per_call, *cfg.patch_size, 1)).astype(
+            ml_dtypes.bfloat16
+        )
+        stacked = jax.tree.map(
+            lambda *xs: np.stack(xs), *[b.params for b in bundles]
+        )
+        fused = jax.device_get(p._infer_multi(stacked, tiles))
+        single = jax.device_get(p._infer(p0, tiles))
+        for key in ("boxes", "scores", "labels", "valid"):
+            lane0 = np.asarray(fused[key][0])
+            np.testing.assert_array_equal(
+                lane0, np.asarray(fused[key][1]), err_msg=f"lanes differ: {key}"
+            )
+            assert lane0.shape == np.asarray(single[key]).shape
+        np.testing.assert_allclose(
+            np.asarray(fused["scores"][0], np.float32),
+            np.asarray(single["scores"], np.float32),
+            atol=5e-3,
+        )
+        np.testing.assert_array_equal(fused["valid"][0], single["valid"])
+
+        # and the fused end-to-end case path runs and returns sane output
+        data = rng.normal(size=(1, 24, 24, 24)).astype(np.float32)
+        out = p.predict_case(data)
+        assert out["pred_boxes"].shape[1] == 6
+        assert len(out["pred_boxes"]) == len(out["pred_scores"])

@@ -107,3 +107,44 @@ class TestMultiModelEnsemble:
         res = ens.get_case_result()
         # class-batched suppression keeps both classes
         assert sorted(res["pred_labels"].tolist()) == [0, 1]
+
+
+class TestEnsemblerMemoization:
+    def test_memoized_results_match_fresh_ensembler(self, tmp_path, rng):
+        """A persistent ensembler swept through many parameter combos must
+        return bit-identical results to a freshly loaded ensembler at each
+        combo (the sweeper holds instances in memory across ~25 trials)."""
+        gt = np.asarray([10, 10, 20, 20, 10, 20], np.float64)
+        noise = rng.uniform(5, 55, (20, 1)) + np.asarray(
+            [[0, 0, 6, 6, 0, 6]], np.float64
+        )
+        make_state(tmp_path, "case_m", gt, noise, rng)
+        persistent = BoxEnsemblerSelective.from_checkpoint(
+            tmp_path / "case_m_boxes_state.pkl"
+        )
+        defaults, space = BoxEnsemblerSelective.sweep_parameters()
+        for pname, values in space.items():
+            for v in values:
+                params = dict(defaults, **{pname: v})
+                persistent.update_parameters(**params)
+                got = persistent.get_case_result()
+                fresh = BoxEnsemblerSelective.from_checkpoint(
+                    tmp_path / "case_m_boxes_state.pkl"
+                )
+                fresh.update_parameters(**params)
+                want = fresh.get_case_result()
+                for k in ("pred_boxes", "pred_scores", "pred_labels"):
+                    np.testing.assert_array_equal(got[k], want[k], err_msg=f"{pname}={v} {k}")
+
+    def test_cache_invalidated_by_new_tiles(self, tmp_path, rng):
+        ens = BoxEnsemblerSelective((64, 64, 64))
+        ens.add_model("m0")
+        b = np.asarray([[10, 10, 20, 20, 10, 20]], np.float32)
+        ens.process_tile(b, np.asarray([0.9], np.float32), np.zeros(1, np.int64),
+                         tile_origin=(0, 0, 0), tile_size=(64, 64, 64))
+        r1 = ens.get_case_result()
+        assert len(r1["pred_boxes"]) == 1
+        ens.process_tile(b + 30, np.asarray([0.8], np.float32), np.zeros(1, np.int64),
+                         tile_origin=(0, 0, 0), tile_size=(64, 64, 64))
+        r2 = ens.get_case_result()
+        assert len(r2["pred_boxes"]) == 2
