@@ -235,6 +235,9 @@ def build_loaders(
         oversample_foreground_percent=oversample,
         max_instances=plan.max_instances_per_patch,
         seed=seed + 1,
+        # identical val patches every epoch: per-epoch metrics compare the
+        # model, not the sample (model_best selection on signal)
+        fixed_sequence=True,
     )
     return train_loader, val_loader
 
