@@ -265,6 +265,10 @@ def main():
 
         jax.config.update("jax_default_prng_impl", "rbg")
 
+    from nndetection_tpu.utils.bench_env import require_exclusive_or_tag
+
+    contention = require_exclusive_or_tag("bench.py")
+
     if args.mode == "infer":
         patch = tuple(args.patch) if args.patch else (96, 128, 128)
         result = run_inference(
@@ -283,6 +287,7 @@ def main():
                     "per_case": result["per_case"],
                     "tta": bool(args.tta),
                     "models": args.models,
+                    "host_load": contention,
                 }
             )
         )
@@ -334,6 +339,7 @@ def main():
     for k in ("tflops_per_step", "hbm_gb_per_step"):
         if k in result:
             payload[k] = round(result[k], 2)
+    payload["host_load"] = contention
     print(json.dumps(payload))
     print(
         f"# patch={used_patch} batch={args.batch} steps={result['steps_timed']} "
