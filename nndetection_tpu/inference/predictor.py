@@ -73,9 +73,13 @@ class Predictor:
         self.ensembler_parameters = ensembler_parameters
         self.predict_seg = predict_seg
         # tiles per device call: the model batch inside the call is
-        # (num TTA variants) x (tiles per call); keep it near 2x the training
-        # batch (forward-only activations fit comfortably at that size)
-        self.tiles_per_call = max(1, (batch_size * 2) // len(self.tta_flips))
+        # (num TTA variants) x (tiles per call); keep it near FACTOR x the
+        # training batch (forward-only activations fit well above the
+        # training batch; a bigger call amortizes dispatch and fills the MXU)
+        import os
+
+        factor = int(os.environ.get("NNDET_INFER_TILE_FACTOR", "2"))
+        self.tiles_per_call = max(1, (batch_size * factor) // len(self.tta_flips))
         # memoized across Predictor instances (one per sweep / predict stage):
         # the closure depends only on the model config and the static tile
         # post-processing constants, so every fold reuses one compile

@@ -519,7 +519,17 @@ def run_sweep(
     sweep_dir = fold_dir / "sweep"
     # resume=True is safe here: sweep predictions are raw ensembler states
     # (parameters are applied AFTER, by the sweeper), so a completed case
-    # never goes stale when sweep parameters change.
+    # never goes stale when sweep parameters change. They DO go stale when
+    # TRAINING advances past them — drop any state predicted before the
+    # checkpoint being swept was written, or a resumed sweep would mix
+    # predictions from different model versions.
+    ckpt_mtime = (fold_dir / "model_last.ckpt").stat().st_mtime
+    if sweep_dir.exists():
+        for stale in list(sweep_dir.glob("*_boxes.pkl")) + list(
+            sweep_dir.glob("*_boxes_state.pkl")
+        ):
+            if stale.stat().st_mtime < ckpt_mtime:
+                stale.unlink()
     predict_dir(
         [bundle],
         prep_dir / plan.plan_id / "imagesTr",

@@ -268,7 +268,22 @@ def main():
     # ---- stage 6: restored CV val predictions -----------------------------
     for fold in folds:
         out = model_dir / f"fold{fold}" / "val_predictions"
-        if any(out.glob("*_boxes.pkl")):
+        existing = list(out.glob("*_boxes.pkl"))
+        # staleness: predictions materialized before the current swept
+        # parameters (fold or consolidated plan) must be refreshed
+        plan_mtimes = [
+            p.stat().st_mtime
+            for p in (
+                model_dir / "consolidated" / "plan_inference.pkl",
+                model_dir / f"fold{fold}" / "plan_inference.pkl",
+            )
+            if p.exists()
+        ]
+        fresh = existing and (
+            not plan_mtimes
+            or min(q.stat().st_mtime for q in existing) >= max(plan_mtimes)
+        )
+        if fresh:
             log(f"fold {fold}: val predictions already exist")
             continue
         # the sweep already ran the model once per val case (TTA) and saved
@@ -287,8 +302,9 @@ def main():
     pooled.mkdir(exist_ok=True)
     for fold in folds:
         for p in (model_dir / f"fold{fold}" / "val_predictions").glob("*_boxes.pkl"):
-            if not (pooled / p.name).exists():
-                shutil.copy(p, pooled / p.name)
+            dst = pooled / p.name
+            if not dst.exists() or p.stat().st_mtime > dst.stat().st_mtime:
+                shutil.copy(p, dst)
 
     cpm_csv = model_dir / "cpm_predictions.csv"
     task016.export_cpm(pooled, task / "raw_splitted" / "labelsTr", cpm_csv)
