@@ -242,11 +242,11 @@ def main():
         help="infer: ensemble size (e.g. 5 for the 5-fold deployment point)",
     )
     p.add_argument(
-        "--in_stats", choices=["two_pass", "one_pass", "one_pass_head"],
-        default=None,
-        help="instance-norm statistics schedule (one_pass = strided-shift "
-        "single sweep; one_pass_head = coalesced head-block shift, saves one "
-        "HBM read of every normalized activation)",
+        "--in_stats", default=None,
+        help="instance-norm statistics schedule: two_pass (default), "
+        "one_pass (strided-shift single sweep), one_pass_head (coalesced "
+        "head-block shift), plane_sub[:K] (two-pass over every K-th depth "
+        "plane — contiguous slabs, 2/K stats reads instead of 2)",
     )
     p.add_argument(
         "--in_impl", choices=["xla", "pallas"], default=None,

@@ -196,6 +196,50 @@ def _head_shifted_stats(x: jnp.ndarray, axes: Tuple[int, ...]):
     return mean, var
 
 
+def _plane_subsampled_stats(x: jnp.ndarray, axes: Tuple[int, ...], stride: int):
+    """Two-pass statistics over a plane-stratified subsample.
+
+    The HBM wall is the IN statistics passes re-reading every full-resolution
+    activation (~36% of the round-4 device trace). Round 4 proved the
+    strided-GATHER shortcut loses (``_shifted_stats``: a 1/16-per-axis
+    subsample still touches most HBM bursts). This estimator reads every
+    ``stride``-th DEPTH PLANE in full — whole [H, W, C] slabs, perfectly
+    contiguous bursts — so the two stats passes cost 2/stride reads instead
+    of 2. Depth-stratified sampling keeps the estimate unbiased across the
+    axis activation statistics actually vary along; per-(b,c) sample counts
+    at the stages that matter (>=2^17 voxels) leave relative stat noise
+    ~O(1e-2) — the normalize scale is insensitive at that level, and norm
+    layers tolerate (batchnorm exploits) far larger stat noise.
+
+    Semantics: an APPROXIMATION of exact IN (reference computes exact stats,
+    ``/root/reference/nndet/arch/conv.py:146``) — opt-in via
+    ``NNDET_IN_STATS=plane_sub[:stride]``, accuracy-gated by the toy-accept
+    A/B before ever becoming a default.
+    """
+    d_axis = axes[0]
+    if x.shape[d_axis] < 2 * stride:
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        diff = x - mean.astype(x.dtype)
+        var = jnp.mean(
+            jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32
+        )
+        return mean, var
+    # centered stratification (start at stride//2): symmetric coverage of
+    # depth trends, halving the ramp bias of an edge-anchored sample
+    sub = x[
+        tuple(
+            slice(stride // 2, None, stride) if a == d_axis else slice(None)
+            for a in range(x.ndim)
+        )
+    ]
+    mean = jnp.mean(sub, axis=axes, keepdims=True, dtype=jnp.float32)
+    diff = sub - mean.astype(sub.dtype)
+    var = jnp.mean(
+        jax.lax.square(diff), axis=axes, keepdims=True, dtype=jnp.float32
+    )
+    return mean, var
+
+
 class InstanceNorm(nn.Module):
     """Instance normalization over spatial axes (per sample, per channel).
 
@@ -262,6 +306,9 @@ class InstanceNorm(nn.Module):
             mean, var = _shifted_stats(x, axes)
         elif stats_impl == "one_pass_head":
             mean, var = _head_shifted_stats(x, axes)
+        elif stats_impl.startswith("plane_sub"):
+            stride = int(stats_impl.split(":")[1]) if ":" in stats_impl else 4
+            mean, var = _plane_subsampled_stats(x, axes, stride)
         else:
             mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
             diff = x - mean.astype(x.dtype)

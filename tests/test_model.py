@@ -319,3 +319,53 @@ class TestInstanceNormOnePass:
         y1, _, _ = self._run(monkeypatch, "one_pass_head", x)
         assert np.isfinite(np.asarray(y1)).all()
         assert abs(float(np.mean(y1))) < 0.1
+
+
+class TestPlaneSubStats:
+    def test_plane_sub_close_to_exact(self, monkeypatch):
+        """Plane-stratified IN stats must normalize within ~1% of exact IN at
+        realistic activation scales (approximation gate before any chip A/B)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from nndetection_tpu.models.conv import InstanceNorm
+
+        rng = np.random.default_rng(0)
+        # depth-varying statistics: the hard case for depth subsampling
+        d = np.linspace(0.5, 2.0, 24)[None, :, None, None, None]
+        x = (rng.normal(1.5, 1.0, (2, 24, 16, 16, 8)) * d).astype(np.float32)
+
+        mod = InstanceNorm()
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        monkeypatch.delenv("NNDET_IN_STATS", raising=False)
+        exact = np.asarray(mod.apply(params, jnp.asarray(x)), np.float32)
+        monkeypatch.setenv("NNDET_IN_STATS", "plane_sub:4")
+        approx = np.asarray(mod.apply(params, jnp.asarray(x)), np.float32)
+
+        # scale/shift differ only by stat estimation error; what matters for
+        # training is that the output distribution stays normalized per
+        # (b, c) and elementwise deviation is bounded
+        err = np.abs(approx - exact).mean() / (np.abs(exact).mean() + 1e-6)
+        assert err < 0.12, err
+        m = approx.mean(axis=(1, 2, 3))
+        v = approx.var(axis=(1, 2, 3))
+        assert np.abs(m).max() < 0.1
+        assert np.abs(v - 1).max() < 0.2
+
+    def test_plane_sub_small_depth_falls_back_exact(self, monkeypatch):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from nndetection_tpu.models.conv import InstanceNorm
+
+        x = np.random.default_rng(1).normal(size=(1, 4, 8, 8, 8)).astype(np.float32)
+        mod = InstanceNorm()
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        monkeypatch.delenv("NNDET_IN_STATS", raising=False)
+        exact = np.asarray(mod.apply(params, jnp.asarray(x)))
+        monkeypatch.setenv("NNDET_IN_STATS", "plane_sub:4")
+        approx = np.asarray(mod.apply(params, jnp.asarray(x)))
+        np.testing.assert_array_equal(exact, approx)
