@@ -50,5 +50,14 @@ else
   echo "[queue] skipping combo bench (levers did not both beat baseline)"
 fi
 
+# 5. deploy-point inference: 5-model x 8-TTA, uncontended (VERDICT r4 #4).
+#    The fold-vmapped fused path makes this one compile + one device call
+#    chain per tile batch for all five folds.
+run_bench infer_deploy --mode infer --tta --models 5
+cp /tmp/r5_bench_infer_deploy.json "$REPO/artifacts/bench_infer_deploy_r05.json" 2>/dev/null
+# single-model no-TTA point for continuity with r4
+run_bench infer_single --mode infer
+cp /tmp/r5_bench_infer_single.json "$REPO/artifacts/bench_infer_r05.json" 2>/dev/null
+
 echo "[queue $(date +%H:%M:%S)] bench block done; launching campaign"
 bash scripts_dev/r5_campaign.sh 0
