@@ -255,9 +255,29 @@ class InstanceNorm(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+    ) -> jnp.ndarray:
         c = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
+        if stats is not None:
+            # statistics precomputed by the producing conv's fused epilogue
+            # (ops/pallas_conv.py) — skip every stats pass over x
+            mean, var = stats
+            shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            mean = mean.reshape(shape)
+            inv = jax.lax.rsqrt(var.reshape(shape) + self.epsilon)
+            scale = inv
+            if self.use_scale:
+                gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+                scale = inv * gamma
+            shift = -mean * scale
+            if self.use_bias:
+                beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+                shift = shift + beta
+            return (
+                x * scale.astype(self.dtype) + shift.astype(self.dtype)
+            ).astype(self.dtype)
         # statistics accumulate in float32 WITHOUT materializing an f32 copy
         # of the activation (a full-resolution f32 cast of stage-0 maps costs
         # GBs of HBM once residuals are kept for backward). The variance uses
@@ -397,6 +417,25 @@ class _SpatialGroupNorm(nn.Module):
         )
 
 
+class _ConvKernelParam(nn.Module):
+    """Bare conv-kernel parameter holder, tree-identical to ``nn.Conv`` with
+    ``use_bias=False`` (param path ``Conv_0/kernel``, layout [*k, Ci, Co]) so
+    checkpoints move freely between the fused-Pallas and XLA conv paths."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    kernel_init: Callable = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+
+
 class ConvNormAct(nn.Module):
     """conv -> (norm) -> (act); bias disabled when a norm follows (reference
     "dynamic bias" rule, ``conv.py:54-143``)."""
@@ -417,21 +456,40 @@ class ConvNormAct(nn.Module):
         k = _to_tuple(self.kernel_size, self.dim)
         s = _to_tuple(self.strides, self.dim)
         use_bias = self.norm is None
-        x = conv_layer(
-            features=self.out_channels,
-            kernel_size=k,
-            strides=s,
-            dim=self.dim,
-            use_bias=use_bias,
-            dtype=self.dtype,
-            transposed=self.transposed,
-            # flax's auto-names, so sharded/unsharded param trees match
-            name="ConvTranspose_0" if self.transposed else "Conv_0",
-        )(x)
+        stats = None
+        if (
+            os.environ.get("NNDET_CONV_FUSED") == "1"
+            and self.norm == "instance"
+            and not self.transposed
+            and get_spatial_axis() is None
+        ):
+            from nndetection_tpu.ops.pallas_conv import conv3d_in_stats, supported
+
+            if supported(x.shape, k, s, self.dim):
+                # fused Pallas conv: IN statistics accumulated in the conv's
+                # VMEM epilogue — the two stats passes over the output never
+                # touch HBM. Parameter tree identical to the nn.Conv path.
+                kernel = _ConvKernelParam(
+                    features=self.out_channels, kernel_size=k, name="Conv_0"
+                )(x)
+                x, mean, var = conv3d_in_stats(x.astype(self.dtype), kernel)
+                stats = (mean, var)
+        if stats is None:
+            x = conv_layer(
+                features=self.out_channels,
+                kernel_size=k,
+                strides=s,
+                dim=self.dim,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                transposed=self.transposed,
+                # flax's auto-names, so sharded/unsharded param trees match
+                name="ConvTranspose_0" if self.transposed else "Conv_0",
+            )(x)
         if self.norm == "instance":
             x = InstanceNorm(
                 use_scale=self.norm_affine, use_bias=self.norm_affine, dtype=self.dtype
-            )(x)
+            )(x, stats=stats)
         elif self.norm == "group":
             x = GroupNorm(
                 channels_per_group=self.norm_channels_per_group,
