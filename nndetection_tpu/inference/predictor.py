@@ -97,16 +97,23 @@ class Predictor:
             self._build_infer,
         )
         # Multi-model (fold-ensemble) path: stack all fold params into one
-        # pytree and vmap the whole infer over the fold axis — ONE device
-        # call serves every fold per tile batch instead of a per-model
-        # Python loop multiplying dispatches and host fetches by num_models.
+        # pytree and run the whole infer over the fold axis INSIDE one jitted
+        # call — ONE device call serves every fold per tile batch instead of
+        # a per-model Python loop multiplying dispatches and host fetches by
+        # num_models. The fold axis runs via lax.map (sequential scan), NOT
+        # vmap: vmapping keeps every fold's activations live concurrently and
+        # OOMs 16 GB HBM at the deploy point (measured r5: a single conv
+        # intermediate became bf16[16,96,128,128,5,32] = 30 GB), while the
+        # chip is HBM-bandwidth-bound at these shapes so fold concurrency
+        # buys no throughput anyway. lax.map keeps peak memory at the
+        # single-model level with the same dispatch savings.
         self._multi = len(self.models) > 1 and all(
             freeze(m.cfg) == freeze(self.cfg) for m in self.models[1:]
         )
         if self._multi:
             self._infer_multi = memo_jit(
                 (
-                    "predict_infer_multi",
+                    "predict_infer_multi_map",
                     len(self.models),
                     freeze(self.cfg),
                     tuple(self.tta_flips),
@@ -114,9 +121,17 @@ class Predictor:
                     self.tile_detections,
                     self.predict_seg,
                 ),
-                lambda: jax.jit(jax.vmap(self._infer_body(), in_axes=(0, None))),
+                self._build_infer_multi,
             )
             self._stacked_params = None
+
+    def _build_infer_multi(self):
+        body = self._infer_body()
+
+        def multi(stacked_params, tiles):
+            return jax.lax.map(lambda p: body(p, tiles), stacked_params)
+
+        return jax.jit(multi)
 
     def _build_infer(self):
         return jax.jit(self._infer_body())

@@ -150,6 +150,21 @@ def main():
         e = epochs if fold == folds[0] else epochs_rest
         sw = swa_epochs if fold == folds[0] else swa_rest
         st = steps if fold == folds[0] else steps_rest
+        # adaptive wall-clock control: a small override file re-read at every
+        # fold boundary lets the operator retune the remaining folds' depth
+        # WITHOUT restarting the process (a restart repays the 10-14 min
+        # remote train-step compile on the axon tunnel). Keys: epochs_rest,
+        # swa_rest, steps_rest; applies only to folds after the first.
+        ov_file = root / "overrides.json"
+        if fold != folds[0] and ov_file.exists():
+            try:
+                live = json.loads(ov_file.read_text())
+                e = int(live.get("epochs_rest", e))
+                sw = int(live.get("swa_rest", sw))
+                st = int(live.get("steps_rest", st))
+                log(f"fold {fold}: live overrides {live}")
+            except Exception as exc:  # malformed file must not kill the run
+                log(f"fold {fold}: ignoring overrides.json ({exc})")
         ov = dict(
             max_epochs=e,
             num_train_batches_per_epoch=st,
