@@ -321,7 +321,16 @@ class InstanceNorm(nn.Module):
             return fused_instance_norm(x, gamma, beta, self.epsilon).astype(
                 self.dtype
             )
-        stats_impl = os.environ.get("NNDET_IN_STATS", "two_pass")
+        # Default schedule: plane-stratified stats (stride 8) for 3D volumes,
+        # exact two-pass otherwise. plane_sub:8 cuts the stats passes' HBM
+        # re-reads by 8x (chip A/B: 16.76 vs 15.88 patches/s = 2.095x the
+        # reference baseline, artifacts/bench_train_r05_plane8.json) and is
+        # accuracy-gated: the toy-accept run trained from scratch with it
+        # reaches the identical all-1.0 AP/FROC table
+        # (artifacts/toy_accept_plane8.json vs toy_accept_train24.json).
+        # Opt out with NNDET_IN_STATS=two_pass for bit-exact reference stats.
+        default_impl = "plane_sub:8" if x.ndim == 5 else "two_pass"
+        stats_impl = os.environ.get("NNDET_IN_STATS", default_impl)
         if stats_impl == "one_pass":
             mean, var = _shifted_stats(x, axes)
         elif stats_impl == "one_pass_head":

@@ -339,7 +339,9 @@ class TestPlaneSubStats:
         mod = InstanceNorm()
         params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
 
-        monkeypatch.delenv("NNDET_IN_STATS", raising=False)
+        # two_pass must be requested explicitly: the 3D DEFAULT is now
+        # plane_sub:8 (accuracy-gated by artifacts/toy_accept_plane8.json)
+        monkeypatch.setenv("NNDET_IN_STATS", "two_pass")
         exact = np.asarray(mod.apply(params, jnp.asarray(x)), np.float32)
         monkeypatch.setenv("NNDET_IN_STATS", "plane_sub:4")
         approx = np.asarray(mod.apply(params, jnp.asarray(x)), np.float32)
@@ -364,8 +366,13 @@ class TestPlaneSubStats:
         x = np.random.default_rng(1).normal(size=(1, 4, 8, 8, 8)).astype(np.float32)
         mod = InstanceNorm()
         params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-        monkeypatch.delenv("NNDET_IN_STATS", raising=False)
+        monkeypatch.setenv("NNDET_IN_STATS", "two_pass")
         exact = np.asarray(mod.apply(params, jnp.asarray(x)))
         monkeypatch.setenv("NNDET_IN_STATS", "plane_sub:4")
         approx = np.asarray(mod.apply(params, jnp.asarray(x)))
         np.testing.assert_array_equal(exact, approx)
+        # the bare 3D default (plane_sub:8) must also fall back to exact
+        # stats at this small depth
+        monkeypatch.delenv("NNDET_IN_STATS", raising=False)
+        default = np.asarray(mod.apply(params, jnp.asarray(x)))
+        np.testing.assert_array_equal(exact, default)
