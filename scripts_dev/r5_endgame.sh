@@ -59,6 +59,12 @@ timeout 1500 python bench.py --mode infer \
   && cp /tmp/r5_bench_infer_single.json artifacts/bench_infer_r05.json
 echo "[endgame] single -> $(tail -1 /tmp/r5_bench_infer_single.json 2>/dev/null | head -c 300)"
 
+echo "[endgame $(date +%H:%M:%S)] exclusive default train bench (plane_sub:8 default)"
+timeout 1500 python bench.py --steps 60 \
+  > /tmp/r5_bench_train_default.json 2> /tmp/r5_bench_train_default.err \
+  && cp /tmp/r5_bench_train_default.json artifacts/bench_train_r05_default_exclusive.json
+echo "[endgame] train -> $(tail -1 /tmp/r5_bench_train_default.json 2>/dev/null | head -c 300)"
+
 cd "$REPO"
 git add artifacts/ 2>/dev/null
 git commit -m "Round-5 endgame artifacts: deploy/single inference benches, partial CV scores" 2>/dev/null || true
