@@ -73,13 +73,26 @@ class Predictor:
         self.ensembler_parameters = ensembler_parameters
         self.predict_seg = predict_seg
         # tiles per device call: the model batch inside the call is
-        # (num TTA variants) x (tiles per call); keep it near FACTOR x the
-        # training batch (forward-only activations fit well above the
-        # training batch; a bigger call amortizes dispatch and fills the MXU)
+        # (num TTA variants) x (tiles per call). Default sizes it from a
+        # voxel budget — forward-only activations fit far above the training
+        # batch, and on remote-dispatch backends (the axon tunnel) per-call
+        # overhead dominates small calls: raising the r5 CV campaign's sweep
+        # from 1 to 8 tiles/call cut whole-case TTA prediction from ~2 min
+        # to ~20-30 s. NNDET_INFER_TILE_FACTOR (tiles = batch*factor/#flips)
+        # overrides; NNDET_INFER_BATCH_VOXELS tunes the budget.
         import os
 
-        factor = int(os.environ.get("NNDET_INFER_TILE_FACTOR", "2"))
-        self.tiles_per_call = max(1, (batch_size * factor) // len(self.tta_flips))
+        factor_env = os.environ.get("NNDET_INFER_TILE_FACTOR")
+        if factor_env:
+            self.tiles_per_call = max(
+                1, (batch_size * int(factor_env)) // len(self.tta_flips)
+            )
+        else:
+            budget = int(os.environ.get("NNDET_INFER_BATCH_VOXELS", 24_000_000))
+            vox = int(np.prod(self.patch_size))
+            self.tiles_per_call = min(
+                16, max(1, budget // (vox * len(self.tta_flips)))
+            )
         # memoized across Predictor instances (one per sweep / predict stage):
         # the closure depends only on the model config and the static tile
         # post-processing constants, so every fold reuses one compile
