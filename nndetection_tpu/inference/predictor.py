@@ -88,7 +88,10 @@ class Predictor:
                 1, (batch_size * int(factor_env)) // len(self.tta_flips)
             )
         else:
-            budget = int(os.environ.get("NNDET_INFER_BATCH_VOXELS", 24_000_000))
+            # 26M voxels/call reproduces the chip-proven points: deploy patch
+            # 96x128x128 x8 flips -> 2 tiles/call (the r2 1.27 vol/min
+            # measurement), no-TTA -> 16, campaign sweep 40x96x96 -> 8
+            budget = int(os.environ.get("NNDET_INFER_BATCH_VOXELS", 26_000_000))
             vox = int(np.prod(self.patch_size))
             self.tiles_per_call = min(
                 16, max(1, budget // (vox * len(self.tta_flips)))
