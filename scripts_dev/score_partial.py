@@ -39,8 +39,9 @@ except Exception:  # noqa: BLE001
 def main():
     root = Path(os.environ.get("PROXY_ROOT", "/tmp/luna_proxy"))
     model_name = os.environ.get("PROXY_MODEL_NAME", "RetinaUNetV001")
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_json = Path(
-        sys.argv[1] if len(sys.argv) > 1
+        positional[0] if positional
         else REPO / "artifacts" / "luna_proxy_partial_cpm.json"
     )
     task = root / "Task916_LunaProxy"
