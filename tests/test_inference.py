@@ -225,3 +225,51 @@ class TestMultiModelFusedPath:
         out = p.predict_case(data)
         assert out["pred_boxes"].shape[1] == 6
         assert len(out["pred_boxes"]) == len(out["pred_scores"])
+
+
+class TestTileSizing:
+    """The tiles/call default comes from a voxel budget (predictor.py): it
+    must reproduce the chip-proven operating points for the three benchmark
+    configurations, and the env overrides must win."""
+
+    def _bundle(self, patch):
+        from nndetection_tpu.inference.predictor import ModelBundle
+        from nndetection_tpu.models import RetinaUNetConfig
+
+        cfg = RetinaUNetConfig(
+            conv_kernels=((3, 3, 3),) * 3,
+            strides=((2, 2, 2),) * 2,
+            decoder_levels=(1, 2),
+            patch_size=patch,
+            anchor_width=((4.0, 8.0),) * 2,
+            anchor_height=((4.0, 8.0),) * 2,
+            anchor_depth=((4.0, 8.0),) * 2,
+        )
+        return ModelBundle(cfg=cfg, params=None)
+
+    @pytest.mark.parametrize(
+        "patch,tta,expected",
+        [
+            ((96, 128, 128), True, 2),   # deploy point: 2 tiles x 8 flips
+            ((96, 128, 128), False, 16),  # no-TTA: 16 tiles/call
+            ((40, 96, 96), True, 8),     # CV-campaign sweep point
+        ],
+    )
+    def test_voxel_budget_defaults(self, patch, tta, expected, monkeypatch):
+        from nndetection_tpu.inference.predictor import Predictor
+
+        monkeypatch.delenv("NNDET_INFER_TILE_FACTOR", raising=False)
+        monkeypatch.delenv("NNDET_INFER_BATCH_VOXELS", raising=False)
+        p = Predictor([self._bundle(patch)], batch_size=8, tta=tta)
+        assert p.tiles_per_call == expected
+
+    def test_env_overrides(self, monkeypatch):
+        from nndetection_tpu.inference.predictor import Predictor
+
+        monkeypatch.setenv("NNDET_INFER_TILE_FACTOR", "8")
+        p = Predictor([self._bundle((40, 96, 96))], batch_size=4, tta=True)
+        assert p.tiles_per_call == 4 * 8 // 8
+        monkeypatch.delenv("NNDET_INFER_TILE_FACTOR")
+        monkeypatch.setenv("NNDET_INFER_BATCH_VOXELS", str(40 * 96 * 96 * 8))
+        p = Predictor([self._bundle((40, 96, 96))], batch_size=4, tta=True)
+        assert p.tiles_per_call == 1
