@@ -372,6 +372,14 @@ def main():
             "luna16_cpm_10fold": 0.930,
             "note": "real LUNA16 blocked in env; this is the synthetic proxy",
         },
+        "in_stats_provenance": (
+            "IN statistics schedule varied across training segments as the "
+            "plane_sub:8 default landed mid-campaign: folds 0-2 initial "
+            "epochs two_pass, folds 3-4 and all resumed/extended epochs "
+            "plane_sub:8. Both are validated estimators of the same "
+            "statistic (toy-accept A/B artifacts/toy_accept_plane8.json, "
+            "inference A/B artifacts/in_stats_ab_fold3.json)."
+        ),
     }
     out_json.parent.mkdir(parents=True, exist_ok=True)
     save_json(result, out_json)
